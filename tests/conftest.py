@@ -1,0 +1,29 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh.
+
+Mirrors the reference's CPU-pinned JAX tests
+(/root/reference/myosuite/tests/test_mjx.py:9) plus the multi-chip fake
+required for sharding tests (xla_force_host_platform_device_count).
+Must run before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def pytest_sessionfinish(session, exitstatus):
+  session.config._final_exitstatus = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+  # The TPU-tunnel jax plugin registers an atexit handler that can hang for
+  # minutes at interpreter shutdown even when tests run on CPU; hard-exit
+  # once pytest has reported.
+  import sys
+  sys.stdout.flush()
+  sys.stderr.flush()
+  os._exit(getattr(config, "_final_exitstatus", 0))
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
