@@ -161,6 +161,7 @@ def put_model(m: mujoco.MjModel) -> Model:
       actuator_actadr=S(actadr), actuator_actnum=S(actnum),
       actuator_ctrllimited=S(m.actuator_ctrllimited),
       actuator_forcelimited=S(m.actuator_forcelimited),
+      actuator_actlimited=S(m.actuator_actlimited),
       collision_pairs=S(pairs),
       qpos0=f32(m.qpos0), qpos_spring=f32(m.qpos_spring),
       body_pos=f32(m.body_pos), body_quat=f32(m.body_quat),
@@ -198,6 +199,7 @@ def put_model(m: mujoco.MjModel) -> Model:
       actuator_biasprm=f32(m.actuator_biasprm),
       actuator_ctrlrange=f32(m.actuator_ctrlrange),
       actuator_forcerange=f32(m.actuator_forcerange),
+      actuator_actrange=f32(m.actuator_actrange),
       actuator_gear=f32(m.actuator_gear),
       actuator_acc0=f32(m.actuator_acc0),
       actuator_length0=f32(m.actuator_length0),

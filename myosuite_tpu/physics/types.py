@@ -221,6 +221,7 @@ class Model:
   actuator_actnum: Static = static_field()
   actuator_ctrllimited: Static = static_field()
   actuator_forcelimited: Static = static_field()
+  actuator_actlimited: Static = static_field()
   # collision pair table: (npair, 4) columns [geom1, geom2, pairtype, condim]
   collision_pairs: Static = static_field()
 
@@ -274,6 +275,7 @@ class Model:
   actuator_biasprm: jax.Array
   actuator_ctrlrange: jax.Array
   actuator_forcerange: jax.Array
+  actuator_actrange: jax.Array
   actuator_gear: jax.Array
   actuator_acc0: jax.Array
   actuator_length0: jax.Array

@@ -72,6 +72,23 @@ MUSCLE_XML = """
 """
 
 
+_PIPELINES = {}
+
+
+def jitted_pipeline(m, *stage_fns):
+  """Cache a jitted composition of physics stages per (model, stages)."""
+  import jax
+
+  key = (id(m), tuple(f.__module__ + "." + f.__name__ for f in stage_fns))
+  if key not in _PIPELINES:
+    def run(d):
+      for f in stage_fns:
+        d = f(m, d)
+      return d
+    _PIPELINES[key] = jax.jit(run)
+  return _PIPELINES[key]
+
+
 def randomize_state(mj_model, seed=0, vel_scale=0.5):
   """Random but valid (qpos, qvel) for any model."""
   rng = np.random.RandomState(seed)
