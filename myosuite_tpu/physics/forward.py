@@ -1,0 +1,174 @@
+"""Forward dynamics pipeline and integrators — the engine's `step`.
+
+Mirrors the stage ordering of MuJoCo's mj_forward / mj_step (the kernel the
+reference invokes via mjx_env.step,
+/root/reference/myosuite/envs/myo/mjx/mjx_base_env.py:88-92), as pure
+functions Model x Data -> Data. Batch with jax.vmap, roll out with
+jax.lax.scan, shard the batch axis with shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myosuite_tpu.physics import (actuation, collision, constraint,
+                                  kinematics, smooth, solver, tendon)
+from myosuite_tpu.physics import math
+from myosuite_tpu.physics.types import Data, IntegratorType, JointType, Model
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  d = kinematics.kinematics(m, d)
+  d = kinematics.com_pos(m, d)
+  d = tendon.tendon(m, d)
+  d = actuation.transmission(m, d)
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  d = collision.collision(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  d = kinematics.com_vel(m, d)
+  d = tendon.tendon_velocity(m, d)
+  d = actuation.actuator_velocity(m, d)
+  d = smooth.rne(m, d)
+  d = smooth.passive(m, d)
+  return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  return actuation.actuation(m, d)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+                 + d.qfrc_applied + xfrc_projection(m, d))
+  qacc_smooth = smooth.solve_m(d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def xfrc_projection(m: Model, d: Data) -> jax.Array:
+  """Project Cartesian body wrenches xfrc_applied into dof space."""
+  # cheap check: most envs never use xfrc — still traced, XLA folds zeros.
+  from myosuite_tpu.physics.tendon import _body_dof_mask
+  dof_mask = jnp.asarray(_body_dof_mask(m))
+  com_root = d.subtree_com[m.body_rootid.arr]
+
+  qfrc = jnp.zeros(m.nv, dtype=d.qpos.dtype)
+  for b in range(1, m.nbody):
+    offset = d.xipos[b] - com_root[b]
+    # force at body CoM -> CoM-frame force vector
+    frc = d.xfrc_applied[b]
+    cfrc = jnp.concatenate(
+        [frc[3:] + jnp.cross(offset, frc[:3]), frc[:3]])
+    qfrc = qfrc + (math.mm(d.cdof, cfrc)) * dof_mask[b]
+  return qfrc
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+  efc = constraint.make_efc(m, d)
+  qacc, qfrc_constraint = solver.solve(m, d, efc)
+  return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)
+
+
+def forward(m: Model, d: Data) -> Data:
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = fwd_constraint(m, d)
+  return d
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+
+
+def _integrate_act(m: Model, d: Data, h: float) -> jax.Array:
+  if m.na == 0:
+    return d.act
+  act = d.act + h * d.act_dot
+  # muscles stay in [0, 1]; explicit actrange clamps apply when limited
+  dyntypes = np.asarray(m.actuator_dyntype)
+  actadr = np.asarray(m.actuator_actadr)
+  is_muscle_act = np.zeros(m.na, dtype=bool)
+  limited = np.asarray(m.actuator_actlimited)
+  lo = np.zeros(m.na, dtype=np.float32)
+  hi = np.zeros(m.na, dtype=np.float32)
+  lim = np.zeros(m.na, dtype=bool)
+  actrange = np.asarray(jax.device_get(m.actuator_actrange))
+  for i in range(m.nu):
+    adr = int(actadr[i])
+    if adr < 0:
+      continue
+    if dyntypes[i] == 4:  # MUSCLE
+      is_muscle_act[adr] = True
+    if limited[i]:
+      lim[adr] = True
+      lo[adr], hi[adr] = actrange[i]
+  act = jnp.where(jnp.asarray(is_muscle_act), jnp.clip(act, 0.0, 1.0), act)
+  act = jnp.where(jnp.asarray(lim),
+                  jnp.clip(act, jnp.asarray(lo), jnp.asarray(hi)), act)
+  return act
+
+
+def _integrate_qpos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                    h: float) -> jax.Array:
+  """Position integration respecting quaternion manifolds."""
+  out = qpos
+  for j in range(m.njnt):
+    jtype = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    vadr = int(m.jnt_dofadr[j])
+    if jtype == JointType.FREE:
+      out = out.at[qadr:qadr + 3].set(
+          qpos[qadr:qadr + 3] + h * qvel[vadr:vadr + 3])
+      q = math.quat_integrate(qpos[qadr + 3:qadr + 7],
+                              qvel[vadr + 3:vadr + 6], h)
+      out = out.at[qadr + 3:qadr + 7].set(q)
+    elif jtype == JointType.BALL:
+      q = math.quat_integrate(qpos[qadr:qadr + 4], qvel[vadr:vadr + 3], h)
+      out = out.at[qadr:qadr + 4].set(q)
+    else:
+      out = out.at[qadr].set(qpos[qadr] + h * qvel[vadr])
+  return out
+
+
+def euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit joint damping (mj_Euler)."""
+  h = m.opt.timestep
+  act = _integrate_act(m, d, h)
+
+  damping = np.asarray(jax.device_get(m.dof_damping))
+  if (damping > 0).any():
+    mh = d.qM + h * jnp.diag(m.dof_damping)
+    chol = jnp.linalg.cholesky(mh)
+    rhs = d.qfrc_smooth + d.qfrc_constraint
+    qacc = jax.scipy.linalg.cho_solve((chol, True), rhs)
+  else:
+    qacc = d.qacc
+
+  qvel = d.qvel + h * qacc
+  qpos = _integrate_qpos(m, d.qpos, qvel, h)
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def step(m: Model, d: Data) -> Data:
+  """One physics step: forward dynamics + integration."""
+  d = forward(m, d)
+  if m.opt.integrator in (IntegratorType.EULER, IntegratorType.IMPLICITFAST,
+                          IntegratorType.IMPLICIT):
+    return euler(m, d)
+  raise NotImplementedError(f"integrator {m.opt.integrator}")
+
+
+def step_n(m: Model, d: Data, n: int) -> Data:
+  """n physics substeps under one control (ctrl_dt / sim_dt pattern)."""
+  def body(dd, _):
+    return step(m, dd), None
+  d, _ = jax.lax.scan(body, d, None, length=n)
+  return d
