@@ -53,17 +53,26 @@ def _wrap2d(a: jax.Array, b: jax.Array, r: jax.Array,
   th2_ccw = phi_b - alpha_b
   arc_ccw = jnp.mod(th2_ccw - th1_ccw, two_pi)
 
+  def cross2(u, v):
+    return u[0] * v[1] - u[1] * v[0]
+
+  chord = b - a
   if sd is not None:
-    # choose the side whose arc midpoint is angularly closer to the sidesite
-    phi_s = jnp.arctan2(sd[1], sd[0])
-    mid_cw = th1_cw - 0.5 * arc_cw
-    mid_ccw = th1_ccw + 0.5 * arc_ccw
-    def angdist(x, y):
-      dlt = jnp.mod(x - y, two_pi)
-      return jnp.minimum(dlt, two_pi - dlt)
-    use_cw = angdist(mid_cw, phi_s) <= angdist(mid_ccw, phi_s)
+    # Wrap on the side of the sidesite. The side of a candidate arc is the
+    # side of its midpoint w.r.t. the chord; match it to the sidesite's side.
+    s_side = jnp.sign(cross2(chord, sd - a))
+    mid_cw_ang = th1_cw - 0.5 * arc_cw
+    mid_cw = r * jnp.stack([jnp.cos(mid_cw_ang), jnp.sin(mid_cw_ang)])
+    use_cw = jnp.sign(cross2(chord, mid_cw - a)) == s_side
+    # A sidesite also forces the wrap when the segment passes on the
+    # opposite side of the circle center from the sidesite (the tendon is
+    # retained against the bone) — verified against MuJoCo wrap_xpos paths.
+    opposite = jnp.dot(closest, sd) < 0.0
+    valid = ~inside & (intersects | opposite)
   else:
     use_cw = arc_cw <= arc_ccw
+    # without a side preference, arcs beyond pi are not taut-path solutions
+    valid = ~inside & intersects & (jnp.minimum(arc_cw, arc_ccw) <= jnp.pi)
 
   th1 = jnp.where(use_cw, th1_cw, th1_ccw)
   th2 = jnp.where(use_cw, th2_cw, th2_ccw)
@@ -72,11 +81,6 @@ def _wrap2d(a: jax.Array, b: jax.Array, r: jax.Array,
   t1 = r * jnp.stack([jnp.cos(th1), jnp.sin(th1)])
   t2 = r * jnp.stack([jnp.cos(th2), jnp.sin(th2)])
 
-  # wrap is active if the straight segment hits the circle and endpoints are
-  # outside; arcs beyond pi with no side preference are not taut
-  valid = intersects & ~inside
-  if sd is None:
-    valid = valid & (arc <= jnp.pi)
   arclen = jnp.where(valid, r * arc, -1.0)
   return t1, t2, arclen
 
