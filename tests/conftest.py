@@ -27,3 +27,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
       flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+# Persistent compilation cache: physics pipelines are expensive to compile
+# and identical across test runs.
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/mtx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
