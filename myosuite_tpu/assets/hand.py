@@ -1,0 +1,339 @@
+"""Procedural myoHand-scale model: 23 joints, 39 muscles, 5 digits.
+
+Matches the reference's documented myoHand scale anchor (23 joints / 39
+muscles, /root/reference/docs/source/suite.rst:88) with the standard digit
+layout: wrist flex+deviation, thumb CMC(2)+MCP(2)+IP, four fingers
+MCP(2)+PIP+DIP. Muscles: 6 wrist (FCR FCU PL ECRL ECRB ECU), 7 thumb
+(FPL EPL EPB APL ADPt ADPo OPP), per-finger FDP FDS EDC LUM RI UI with EIP
+on the index and EDM on the little finger.
+
+Tendons route through cylinder wrap geoms at every joint with flex/ext
+sidesites; fingertip sites are named THtip/IFtip/MFtip/RFtip/LFtip as in
+the reference's hand reach task.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+# digit: (prefix, y offset, segment lengths (prox, mid, dist), radius scale)
+FINGERS = [
+    ("IF", 0.026, (0.045, 0.028, 0.020), 1.00),   # index
+    ("MF", 0.009, (0.050, 0.032, 0.022), 1.05),   # middle
+    ("RF", -0.009, (0.046, 0.030, 0.021), 1.00),  # ring
+    ("LF", -0.027, (0.036, 0.024, 0.018), 0.85),  # little
+]
+
+
+def _digit_xml(prefix: str, y: float, lens, rscale: float) -> str:
+  lp, lm, ld = lens
+  r = 0.009 * rscale
+  rm = 0.0075 * rscale
+  rd = 0.006 * rscale
+  s = f"""
+<body name="{prefix}_prox" pos="0 {y} -0.085">
+  <joint name="{prefix}_mcp_abd" type="hinge" axis="1 0 0" range="-0.35 0.35"/>
+  <joint name="{prefix}_mcp_flex" type="hinge" axis="0 1 0" range="-0.3 1.57"/>
+  <geom name="{prefix}_mcp_wrap" type="cylinder" fromto="0 -0.012 0 0 0.012 0" size="0.0085"/>
+  <site name="{prefix}_mcp_flexside" pos="-0.02 0 -0.008"/>
+  <site name="{prefix}_mcp_extside" pos="0.02 0 0.008"/>
+  <geom type="capsule" fromto="0 0 0 0 0 -{lp}" size="{r}" mass="0.03"/>
+  <site name="{prefix}_FDP_p" pos="-0.007 0 -{lp*0.45:.4f}"/>
+  <site name="{prefix}_FDS_i" pos="-0.008 0 -{lp*0.8:.4f}"/>
+  <site name="{prefix}_EDC_p" pos="0.007 0 -{lp*0.45:.4f}"/>
+  <site name="{prefix}_LUM_i" pos="-0.006 0.003 -{lp*0.3:.4f}"/>
+  <site name="{prefix}_RI_i" pos="0.002 0.005 -{lp*0.25:.4f}"/>
+  <site name="{prefix}_UI_i" pos="0.002 -0.005 -{lp*0.25:.4f}"/>
+  <body name="{prefix}_mid" pos="0 0 -{lp}">
+    <joint name="{prefix}_pip" type="hinge" axis="0 1 0" range="0 1.92"/>
+    <geom name="{prefix}_pip_wrap" type="cylinder" fromto="0 -0.009 0 0 0.009 0" size="0.0065"/>
+    <site name="{prefix}_pip_flexside" pos="-0.015 0 -0.006"/>
+    <site name="{prefix}_pip_extside" pos="0.015 0 0.006"/>
+    <geom type="capsule" fromto="0 0 0 0 0 -{lm}" size="{rm}" mass="0.015"/>
+    <site name="{prefix}_FDP_m" pos="-0.006 0 -{lm*0.5:.4f}"/>
+    <site name="{prefix}_EDC_m" pos="0.006 0 -{lm*0.5:.4f}"/>
+    <body name="{prefix}_dist" pos="0 0 -{lm}">
+      <joint name="{prefix}_dip" type="hinge" axis="0 1 0" range="0 1.57"/>
+      <geom name="{prefix}_dip_wrap" type="cylinder" fromto="0 -0.007 0 0 0.007 0" size="0.005"/>
+      <site name="{prefix}_dip_flexside" pos="-0.012 0 -0.005"/>
+      <site name="{prefix}_dip_extside" pos="0.012 0 0.005"/>
+      <geom name="{prefix}_tip_geom" type="capsule" fromto="0 0 0 0 0 -{ld}" size="{rd}" mass="0.008"/>
+      <site name="{prefix}_FDP_i" pos="-0.005 0 -{ld*0.8:.4f}"/>
+      <site name="{prefix}_EDC_i" pos="0.005 0 -{ld*0.6:.4f}"/>
+      <site name="{prefix}tip" pos="0 0 -{ld+0.004:.4f}" size="0.004"/>
+    </body>
+  </body>
+</body>
+"""
+  return s
+
+
+def _finger_tendons(prefix: str, extra_ext: str = "") -> str:
+  p = prefix
+  t = f"""
+<spatial name="{p}_FDP_t" width="0.0015">
+  <site site="{p}_FDP_o"/>
+  <geom geom="{p}_mcp_wrap" sidesite="{p}_mcp_flexside"/>
+  <site site="{p}_FDP_p"/>
+  <geom geom="{p}_pip_wrap" sidesite="{p}_pip_flexside"/>
+  <site site="{p}_FDP_m"/>
+  <geom geom="{p}_dip_wrap" sidesite="{p}_dip_flexside"/>
+  <site site="{p}_FDP_i"/>
+</spatial>
+<spatial name="{p}_FDS_t" width="0.0015">
+  <site site="{p}_FDS_o"/>
+  <geom geom="{p}_mcp_wrap" sidesite="{p}_mcp_flexside"/>
+  <site site="{p}_FDS_i"/>
+</spatial>
+<spatial name="{p}_EDC_t" width="0.0015">
+  <site site="{p}_EDC_o"/>
+  <geom geom="{p}_mcp_wrap" sidesite="{p}_mcp_extside"/>
+  <site site="{p}_EDC_p"/>
+  <geom geom="{p}_pip_wrap" sidesite="{p}_pip_extside"/>
+  <site site="{p}_EDC_m"/>
+  <geom geom="{p}_dip_wrap" sidesite="{p}_dip_extside"/>
+  <site site="{p}_EDC_i"/>
+</spatial>
+<spatial name="{p}_LUM_t" width="0.0015">
+  <site site="{p}_LUM_o"/>
+  <site site="{p}_LUM_i"/>
+</spatial>
+<spatial name="{p}_RI_t" width="0.0015">
+  <site site="{p}_RI_o"/>
+  <site site="{p}_RI_i"/>
+</spatial>
+<spatial name="{p}_UI_t" width="0.0015">
+  <site site="{p}_UI_o"/>
+  <site site="{p}_UI_i"/>
+</spatial>
+"""
+  if extra_ext:
+    t += f"""
+<spatial name="{p}_{extra_ext}_t" width="0.0015">
+  <site site="{p}_{extra_ext}_o"/>
+  <geom geom="{p}_mcp_wrap" sidesite="{p}_mcp_extside"/>
+  <site site="{p}_EDC_p"/>
+  <geom geom="{p}_pip_wrap" sidesite="{p}_pip_extside"/>
+  <site site="{p}_EDC_m"/>
+</spatial>
+"""
+  return t
+
+
+def _finger_palm_sites(prefix: str, y: float, extra_ext: str = "") -> str:
+  p = prefix
+  s = f"""
+<site name="{p}_FDP_o" pos="-0.010 {y} -0.02"/>
+<site name="{p}_FDS_o" pos="-0.012 {y} -0.025"/>
+<site name="{p}_EDC_o" pos="0.010 {y} -0.02"/>
+<site name="{p}_LUM_o" pos="-0.008 {y+0.004:.4f} -0.055"/>
+<site name="{p}_RI_o" pos="0.004 {y+0.006:.4f} -0.06"/>
+<site name="{p}_UI_o" pos="0.004 {y-0.006:.4f} -0.06"/>
+"""
+  if extra_ext:
+    s += f'<site name="{p}_{extra_ext}_o" pos="0.012 {y} -0.028"/>\n'
+  return s
+
+
+def _finger_muscles(prefix: str, extra_ext: str = "") -> str:
+  p = prefix
+  mus = [
+      f'<muscle name="{p}_FDP" tendon="{p}_FDP_t" scale="200" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_FDS" tendon="{p}_FDS_t" scale="200" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_EDC" tendon="{p}_EDC_t" scale="180" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_LUM" tendon="{p}_LUM_t" scale="100" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_RI" tendon="{p}_RI_t" scale="120" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_UI" tendon="{p}_UI_t" scale="120" timeconst="0.01 0.04"/>',
+  ]
+  if extra_ext:
+    mus.append(
+        f'<muscle name="{p}_{extra_ext}" tendon="{p}_{extra_ext}_t" '
+        f'scale="150" timeconst="0.01 0.04"/>')
+  return "\n".join(mus)
+
+
+def build_hand() -> str:
+  digits = []
+  tendons = []
+  palm_sites = []
+  muscles = []
+  for p, y, lens, rs in FINGERS:
+    extra = "EIP" if p == "IF" else ("EDM" if p == "LF" else "")
+    digits.append(_digit_xml(p, y, lens, rs))
+    tendons.append(_finger_tendons(p, extra))
+    palm_sites.append(_finger_palm_sites(p, y, extra))
+    muscles.append(_finger_muscles(p, extra))
+
+  # thumb: CMC(2) + MCP(2) + IP
+  thumb = """
+<body name="TH_meta" pos="0.0 0.038 -0.035" euler="-1.1 0 0">
+  <joint name="TH_cmc_abd" type="hinge" axis="1 0 0" range="-0.6 0.6"/>
+  <joint name="TH_cmc_flex" type="hinge" axis="0 1 0" range="-0.5 1.0"/>
+  <geom name="TH_cmc_wrap" type="cylinder" fromto="0 -0.012 0 0 0.012 0" size="0.009"/>
+  <site name="TH_cmc_flexside" pos="-0.022 0 -0.008"/>
+  <site name="TH_cmc_extside" pos="0.022 0 0.008"/>
+  <geom type="capsule" fromto="0 0 0 0 0 -0.042" size="0.010" mass="0.04"/>
+  <site name="TH_FPL_p" pos="-0.008 0 -0.02"/>
+  <site name="TH_EPL_p" pos="0.008 0 -0.02"/>
+  <site name="TH_ADPt_i" pos="-0.004 -0.007 -0.03"/>
+  <site name="TH_ADPo_i" pos="-0.004 -0.007 -0.038"/>
+  <site name="TH_OPP_i" pos="-0.006 0.004 -0.025"/>
+  <body name="TH_prox" pos="0 0 -0.042">
+    <joint name="TH_mcp_abd" type="hinge" axis="1 0 0" range="-0.3 0.3"/>
+    <joint name="TH_mcp_flex" type="hinge" axis="0 1 0" range="-0.2 1.2"/>
+    <geom name="TH_mcp_wrap" type="cylinder" fromto="0 -0.01 0 0 0.01 0" size="0.0075"/>
+    <site name="TH_mcp_flexside" pos="-0.016 0 -0.006"/>
+    <site name="TH_mcp_extside" pos="0.016 0 0.006"/>
+    <geom type="capsule" fromto="0 0 0 0 0 -0.032" size="0.0085" mass="0.02"/>
+    <site name="TH_FPL_m" pos="-0.006 0 -0.016"/>
+    <site name="TH_EPL_m" pos="0.006 0 -0.016"/>
+    <site name="TH_EPB_i" pos="0.006 0 -0.01"/>
+    <body name="TH_dist" pos="0 0 -0.032">
+      <joint name="TH_ip" type="hinge" axis="0 1 0" range="0 1.4"/>
+      <geom name="TH_ip_wrap" type="cylinder" fromto="0 -0.008 0 0 0.008 0" size="0.0055"/>
+      <site name="TH_ip_flexside" pos="-0.013 0 -0.005"/>
+      <site name="TH_ip_extside" pos="0.013 0 0.005"/>
+      <geom name="TH_tip_geom" type="capsule" fromto="0 0 0 0 0 -0.024" size="0.0065" mass="0.01"/>
+      <site name="TH_FPL_i" pos="-0.005 0 -0.019"/>
+      <site name="TH_EPL_i" pos="0.005 0 -0.014"/>
+      <site name="THtip" pos="0 0 -0.028" size="0.004"/>
+    </body>
+  </body>
+</body>
+"""
+
+  thumb_palm_sites = """
+<site name="TH_FPL_o" pos="-0.010 0.03 -0.015"/>
+<site name="TH_EPL_o" pos="0.010 0.03 -0.015"/>
+<site name="TH_EPB_o" pos="0.012 0.032 -0.018"/>
+<site name="TH_APL_o" pos="0.008 0.028 -0.01"/>
+<site name="TH_APL_i_pre" pos="0.0 0.04 -0.03"/>
+<site name="TH_ADPt_o" pos="-0.006 -0.01 -0.05"/>
+<site name="TH_ADPo_o" pos="-0.006 -0.004 -0.07"/>
+<site name="TH_OPP_o" pos="-0.008 0.015 -0.02"/>
+"""
+
+  thumb_tendons = """
+<spatial name="TH_FPL_t" width="0.0015">
+  <site site="TH_FPL_o"/>
+  <geom geom="TH_cmc_wrap" sidesite="TH_cmc_flexside"/>
+  <site site="TH_FPL_p"/>
+  <geom geom="TH_mcp_wrap" sidesite="TH_mcp_flexside"/>
+  <site site="TH_FPL_m"/>
+  <geom geom="TH_ip_wrap" sidesite="TH_ip_flexside"/>
+  <site site="TH_FPL_i"/>
+</spatial>
+<spatial name="TH_EPL_t" width="0.0015">
+  <site site="TH_EPL_o"/>
+  <geom geom="TH_cmc_wrap" sidesite="TH_cmc_extside"/>
+  <site site="TH_EPL_p"/>
+  <geom geom="TH_mcp_wrap" sidesite="TH_mcp_extside"/>
+  <site site="TH_EPL_m"/>
+  <geom geom="TH_ip_wrap" sidesite="TH_ip_extside"/>
+  <site site="TH_EPL_i"/>
+</spatial>
+<spatial name="TH_EPB_t" width="0.0015">
+  <site site="TH_EPB_o"/>
+  <geom geom="TH_cmc_wrap" sidesite="TH_cmc_extside"/>
+  <site site="TH_EPB_i"/>
+</spatial>
+<spatial name="TH_APL_t" width="0.0015">
+  <site site="TH_APL_o"/>
+  <site site="TH_APL_i_pre"/>
+</spatial>
+<spatial name="TH_ADPt_t" width="0.0015">
+  <site site="TH_ADPt_o"/>
+  <site site="TH_ADPt_i"/>
+</spatial>
+<spatial name="TH_ADPo_t" width="0.0015">
+  <site site="TH_ADPo_o"/>
+  <site site="TH_ADPo_i"/>
+</spatial>
+<spatial name="TH_OPP_t" width="0.0015">
+  <site site="TH_OPP_o"/>
+  <site site="TH_OPP_i"/>
+</spatial>
+"""
+
+  thumb_muscles = """
+<muscle name="TH_FPL" tendon="TH_FPL_t" scale="200" timeconst="0.01 0.04"/>
+<muscle name="TH_EPL" tendon="TH_EPL_t" scale="160" timeconst="0.01 0.04"/>
+<muscle name="TH_EPB" tendon="TH_EPB_t" scale="120" timeconst="0.01 0.04"/>
+<muscle name="TH_APL" tendon="TH_APL_t" scale="140" timeconst="0.01 0.04"/>
+<muscle name="TH_ADPt" tendon="TH_ADPt_t" scale="140" timeconst="0.01 0.04"/>
+<muscle name="TH_ADPo" tendon="TH_ADPo_t" scale="140" timeconst="0.01 0.04"/>
+<muscle name="TH_OPP" tendon="TH_OPP_t" scale="120" timeconst="0.01 0.04"/>
+"""
+
+  # wrist muscles: forearm -> palm over the wrist wrap
+  wrist_sites_forearm = """
+<site name="FCR_o" pos="-0.012 0.008 -0.06"/>
+<site name="FCU_o" pos="-0.012 -0.008 -0.06"/>
+<site name="PL_o" pos="-0.013 0 -0.07"/>
+<site name="ECRL_o" pos="0.012 0.010 -0.05"/>
+<site name="ECRB_o" pos="0.012 0.004 -0.06"/>
+<site name="ECU_o" pos="0.012 -0.008 -0.06"/>
+"""
+  wrist_sites_palm = """
+<site name="FCR_i" pos="-0.010 0.012 -0.015"/>
+<site name="FCU_i" pos="-0.010 -0.012 -0.015"/>
+<site name="PL_i" pos="-0.011 0 -0.02"/>
+<site name="ECRL_i" pos="0.010 0.014 -0.012"/>
+<site name="ECRB_i" pos="0.010 0.004 -0.015"/>
+<site name="ECU_i" pos="0.010 -0.012 -0.012"/>
+"""
+  wrist_tendons = "\n".join(f"""
+<spatial name="{n}_t" width="0.002">
+  <site site="{n}_o"/>
+  <geom geom="wrist_wrap" sidesite="{side}"/>
+  <site site="{n}_i"/>
+</spatial>""" for n, side in [
+      ("FCR", "wrist_flexside"), ("FCU", "wrist_flexside"),
+      ("PL", "wrist_flexside"), ("ECRL", "wrist_extside"),
+      ("ECRB", "wrist_extside"), ("ECU", "wrist_extside")])
+  wrist_muscles = "\n".join(
+      f'<muscle name="{n}" tendon="{n}_t" scale="300" timeconst="0.01 0.04"/>'
+      for n in ["FCR", "FCU", "PL", "ECRL", "ECRB", "ECU"])
+
+  return f"""
+<mujoco model="mtx_hand">
+  <compiler angle="radian" autolimits="true">
+    <lengthrange mode="none"/>
+  </compiler>
+  <option timestep="0.002" iterations="6" ls_iterations="6"/>
+  <default>
+    <joint limited="true" damping="0.02" armature="0.0002"/>
+    <geom contype="0" conaffinity="0" friction="1 0.005 0.0001"/>
+    <site size="0.003"/>
+  </default>
+  <worldbody>
+    <body name="forearm" pos="0 0 1.2">
+      <geom type="capsule" fromto="0 0 0 0 0 -0.10" size="0.022" mass="1.2"/>
+      {wrist_sites_forearm}
+      <body name="palm" pos="0 0 -0.10">
+        <joint name="wrist_flex" type="hinge" axis="0 1 0" range="-1.22 1.22"/>
+        <joint name="wrist_dev" type="hinge" axis="1 0 0" range="-0.44 0.44"/>
+        <geom name="wrist_wrap" type="cylinder" fromto="0 -0.02 0 0 0.02 0" size="0.014"/>
+        <site name="wrist_flexside" pos="-0.03 0 -0.012"/>
+        <site name="wrist_extside" pos="0.03 0 0.012"/>
+        <geom name="palm_geom" type="box" pos="0 0.002 -0.05" size="0.012 0.038 0.042" mass="0.35"/>
+        {wrist_sites_palm}
+        {thumb_palm_sites}
+        {"".join(palm_sites)}
+        {thumb}
+        {"".join(digits)}
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    {wrist_tendons}
+    {thumb_tendons}
+    {"".join(tendons)}
+  </tendon>
+  <actuator>
+    {wrist_muscles}
+    {thumb_muscles}
+    {chr(10).join(muscles)}
+  </actuator>
+</mujoco>
+"""

@@ -36,6 +36,52 @@ class State:
   info: Dict[str, Any]
 
 
+def _apply_sarcopenia(model: Model, weakness: float) -> Model:
+  """Scale down muscle max force (reference halves actuator_gainprm[:, 2],
+  /root/reference/myosuite/envs/myo/base_v0.py:63-67). When force < 0
+  MuJoCo uses scale/acc0 instead, so scale (gainprm[:, 3]) is reduced."""
+  import numpy as np
+  from myosuite_tpu.physics.types import GainType
+
+  is_muscle = jnp.asarray(
+      np.asarray(model.actuator_gaintype) == int(GainType.MUSCLE))
+  gp = model.actuator_gainprm
+  force = gp[:, 2]
+  scale = gp[:, 3]
+  new_force = jnp.where(is_muscle & (force > 0), force * weakness, force)
+  new_scale = jnp.where(is_muscle & (force <= 0), scale * weakness, scale)
+  gp = gp.at[:, 2].set(new_force).at[:, 3].set(new_scale)
+  # bias uses the same F_max
+  bp = model.actuator_biasprm
+  bforce = bp[:, 2]
+  bscale = bp[:, 3]
+  bp = bp.at[:, 2].set(
+      jnp.where(is_muscle & (bforce > 0), bforce * weakness, bforce))
+  bp = bp.at[:, 3].set(
+      jnp.where(is_muscle & (bforce <= 0), bscale * weakness, bscale))
+  return model.replace(actuator_gainprm=gp, actuator_biasprm=bp)
+
+
+class ReafferentationWrapper:
+  """Tendon-transfer fault injection: redirect one actuator's command to
+  another (reference: EIP -> EPL, base_v0.py:104-108)."""
+
+  def __init__(self, env, src: int, dst: int):
+    self._env = env
+    self._src, self._dst = src, dst
+
+  def __getattr__(self, name):
+    return getattr(self._env, name)
+
+  def reset(self, rng):
+    return self._env.reset(rng)
+
+  def step(self, state, action):
+    action = action.at[self._dst].set(action[self._src])
+    action = action.at[self._src].set(0.0)
+    return self._env.step(state, action)
+
+
 class MyoEnv(abc.ABC):
   """Pure functional musculoskeletal env over the TPU physics engine.
 
@@ -57,6 +103,9 @@ class MyoEnv(abc.ABC):
         opt=self._model.opt.replace(timestep=float(cfg.sim_dt)))
     self._mj_model.opt.timestep = float(cfg.sim_dt)
     self._n_substeps = int(round(cfg.ctrl_dt / cfg.sim_dt))
+    if cfg.get("muscle_condition", None) == "sarcopenia":
+      self._model = _apply_sarcopenia(self._model,
+                                      cfg.get("sarcopenia_weakness", 0.5))
 
   # -- model access -------------------------------------------------------
   @abc.abstractmethod
@@ -105,7 +154,14 @@ class MyoEnv(abc.ABC):
     ...
 
   def step(self, state: State, action: jax.Array) -> State:
-    state = self._step_simulation(state, action)
+    ctrl = action
+    if self._config.get("norm_actions", True):
+      ctrl = self.norm_actions(action)
+    return self.step_ctrl(state, ctrl)
+
+  def step_ctrl(self, state: State, ctrl: jax.Array) -> State:
+    """Step with already-normalized muscle controls (fatigue wrapper hook)."""
+    state = self._step_simulation(state, ctrl)
     state = state.replace(obs=self._get_obs(state.data, state.info))
     rewards = self._get_rewards(state.data, state.info)
     state = state.replace(reward=self._sum_rewards(rewards))
@@ -115,11 +171,8 @@ class MyoEnv(abc.ABC):
     state = state.replace(info=self._get_info(state))
     return state
 
-  def _step_simulation(self, state: State, action: jax.Array) -> State:
-    act = action
-    if self._config.get("norm_actions", True):
-      act = self.norm_actions(action)
-    data = state.data.replace(ctrl=act)
+  def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
+    data = state.data.replace(ctrl=ctrl)
     data = physics_forward.step_n(self._model, data, self._n_substeps)
     info = {**state.info, "step_count": state.info["step_count"] + 1}
     return state.replace(data=data, info=info)

@@ -48,6 +48,7 @@ class PoseEnv(MyoEnv):
         "rng": rng,
         "step_count": jnp.int32(0),
         "target_angles": target,
+        "truncation": jnp.float32(0.0),
     }
     data = self._make_data(qpos, qvel)
     obs = self._get_obs(data, info)

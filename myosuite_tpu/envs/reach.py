@@ -52,7 +52,8 @@ class ReachEnv(MyoEnv):
     qpos = jnp.asarray(m.qpos0)
     qvel = jnp.zeros(m.nv)
     targets = self._sample_targets(rng1)
-    info = {"rng": rng, "step_count": jnp.int32(0), "targets": targets}
+    info = {"rng": rng, "step_count": jnp.int32(0), "targets": targets,
+            "truncation": jnp.float32(0.0)}
     data = self._make_data(qpos, qvel)
     obs = self._get_obs(data, info)
     zero = jnp.float32(0.0)

@@ -106,6 +106,39 @@ def make(name: str, config_overrides: Optional[Dict[str, Any]] = None):
 # ---------------------------------------------------------------------------
 
 
+def register_with_variants(name: str, factory, aliases=()) -> None:
+  """Register a base env plus Fati/Sarc muscle-condition variants.
+
+  Mirrors the reference's auto-registration of muscle conditions for every
+  myo env (/root/reference/myosuite/envs/myo/myobase/__init__.py:25-49 and
+  mjx registry MjxFati* prefixes, myo_registry.py:54-90)."""
+  from myosuite_tpu.envs.fatigue import FatigueWrapper
+
+  register(name, factory, aliases)
+  assert name.startswith("Mtx")
+  suffix = name[len("Mtx"):]
+
+  def fati_factory(overrides=None):
+    return FatigueWrapper(factory(overrides))
+
+  def sarc_factory(overrides=None):
+    ov = dict(overrides or {})
+    ov["muscle_condition"] = "sarcopenia"
+    return factory(ov)
+
+  register(f"MtxFati{suffix}", fati_factory,
+           aliases=tuple(_variant_alias(a, "Fati") for a in aliases))
+  register(f"MtxSarc{suffix}", sarc_factory,
+           aliases=tuple(_variant_alias(a, "Sarc") for a in aliases))
+
+
+def _variant_alias(alias: str, tag: str) -> str:
+  for prefix in ("Mjx", "myo"):
+    if alias.startswith(prefix):
+      return prefix + tag + alias[len(prefix):]
+  return tag + alias
+
+
 def _register_all():
   from myosuite_tpu.envs.pose import PoseEnv
   from myosuite_tpu.envs.reach import ReachEnv
@@ -118,11 +151,12 @@ def _register_all():
     cfg = pose_config(elbow_xml, [0.0], [2.27], fixed_target=fixed)
     return PoseEnv(cfg, overrides)
 
-  register("MtxElbowPoseRandom-v0", functools.partial(elbow_pose),
-           aliases=("MjxElbowPoseRandom-v0", "myoElbowPose1D6MRandom-v0"))
-  register("MtxElbowPoseFixed-v0",
-           functools.partial(elbow_pose, fixed=True),
-           aliases=("MjxElbowPoseFixed-v0", "myoElbowPose1D6MFixed-v0"))
+  register_with_variants(
+      "MtxElbowPoseRandom-v0", functools.partial(elbow_pose),
+      aliases=("MjxElbowPoseRandom-v0", "myoElbowPose1D6MRandom-v0"))
+  register_with_variants(
+      "MtxElbowPoseFixed-v0", functools.partial(elbow_pose, fixed=True),
+      aliases=("MjxElbowPoseFixed-v0", "myoElbowPose1D6MFixed-v0"))
 
   # Finger pose
   f_lo = [-0.3, -0.25, 0.0, 0.0]
@@ -132,11 +166,12 @@ def _register_all():
                       pose_thd=0.5)
     return PoseEnv(cfg, overrides)
 
-  register("MtxFingerPoseRandom-v0", functools.partial(finger_pose),
-           aliases=("MjxFingerPoseRandom-v0", "myoFingerPoseRandom-v0"))
-  register("MtxFingerPoseFixed-v0",
-           functools.partial(finger_pose, fixed=True),
-           aliases=("MjxFingerPoseFixed-v0", "myoFingerPoseFixed-v0"))
+  register_with_variants(
+      "MtxFingerPoseRandom-v0", functools.partial(finger_pose),
+      aliases=("MjxFingerPoseRandom-v0", "myoFingerPoseRandom-v0"))
+  register_with_variants(
+      "MtxFingerPoseFixed-v0", functools.partial(finger_pose, fixed=True),
+      aliases=("MjxFingerPoseFixed-v0", "myoFingerPoseFixed-v0"))
 
   # Finger reach: IFtip target box around the finger workspace
   tip_lo = [[-0.1, -0.1, 0.78]]
@@ -146,11 +181,68 @@ def _register_all():
                        fixed_target=fixed)
     return ReachEnv(cfg, overrides)
 
-  register("MtxFingerReachRandom-v0", functools.partial(finger_reach),
-           aliases=("myoFingerReachRandom-v0",))
-  register("MtxFingerReachFixed-v0",
-           functools.partial(finger_reach, fixed=True),
-           aliases=("myoFingerReachFixed-v0",))
+  register_with_variants(
+      "MtxFingerReachRandom-v0", functools.partial(finger_reach),
+      aliases=("myoFingerReachRandom-v0",))
+  register_with_variants(
+      "MtxFingerReachFixed-v0", functools.partial(finger_reach, fixed=True),
+      aliases=("myoFingerReachFixed-v0",))
+
+  # ---- myoHand (flagship: 23 joints / 39 muscles) ----
+  import mujoco as _mj
+
+  from myosuite_tpu.assets import hand as hand_mod
+  from myosuite_tpu.envs.base import ReafferentationWrapper
+
+  hand_xml = builder.finalize_muscles(hand_mod.build_hand())
+  hand_mj = _mj.MjModel.from_xml_string(hand_xml)
+
+  h_lo = hand_mj.jnt_range[:, 0].tolist()
+  h_hi = hand_mj.jnt_range[:, 1].tolist()
+
+  def hand_pose(overrides, fixed=False):
+    cfg = pose_config(hand_xml, h_lo, h_hi, fixed_target=fixed,
+                      pose_thd=1.0)
+    return PoseEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandPoseRandom-v0", functools.partial(hand_pose),
+      aliases=("MjxHandPoseRandom-v0", "myoHandPoseRandom-v0"))
+  register_with_variants(
+      "MtxHandPoseFixed-v0", functools.partial(hand_pose, fixed=True),
+      aliases=("MjxHandPoseFixed-v0", "myoHandPoseFixed-v0"))
+
+  # tip workspace boxes around the default tip positions
+  hd = _mj.MjData(hand_mj)
+  _mj.mj_forward(hand_mj, hd)
+  tip_sites = ["THtip", "IFtip", "MFtip", "RFtip", "LFtip"]
+  tip0 = np.stack([
+      hd.site_xpos[_mj.mj_name2id(hand_mj, _mj.mjtObj.mjOBJ_SITE.value, s)]
+      for s in tip_sites])
+  span = np.array([0.05, 0.04, 0.05])
+
+  def hand_reach(overrides, fixed=False):
+    cfg = reach_config(hand_xml, tip_sites, (tip0 - span), (tip0 + span),
+                       fixed_target=fixed)
+    return ReachEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandReachRandom-v0", functools.partial(hand_reach),
+      aliases=("MjxHandReachRandom-v0", "myoHandReachRandom-v0"))
+  register_with_variants(
+      "MtxHandReachFixed-v0", functools.partial(hand_reach, fixed=True),
+      aliases=("MjxHandReachFixed-v0", "myoHandReachFixed-v0"))
+
+  # reafferentation (tendon transfer EIP -> EPL), reference base_v0.py:104-108
+  act_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_ACTUATOR.value, i)
+               for i in range(hand_mj.nu)]
+  eip, epl = act_names.index("IF_EIP"), act_names.index("TH_EPL")
+
+  def hand_pose_reaf(overrides=None):
+    return ReafferentationWrapper(hand_pose(overrides), src=eip, dst=epl)
+
+  register("MtxReafHandPoseRandom-v0", hand_pose_reaf,
+           aliases=("myoReafHandPoseRandom-v0",))
 
 
 _register_all()
