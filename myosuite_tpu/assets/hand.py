@@ -37,7 +37,7 @@ def _digit_xml(prefix: str, y: float, lens, rscale: float) -> str:
   <geom name="{prefix}_mcp_wrap" type="cylinder" fromto="0 -0.012 0 0 0.012 0" size="0.0085"/>
   <site name="{prefix}_mcp_flexside" pos="-0.02 0 -0.008"/>
   <site name="{prefix}_mcp_extside" pos="0.02 0 0.008"/>
-  <geom type="capsule" fromto="0 0 0 0 0 -{lp}" size="{r}" mass="0.03"/>
+  <geom name="{prefix}_prox_geom" type="capsule" fromto="0 0 0 0 0 -{lp}" size="{r}" mass="0.03" contype="1" conaffinity="2"/>
   <site name="{prefix}_FDP_p" pos="-0.007 0 -{lp*0.45:.4f}"/>
   <site name="{prefix}_FDS_i" pos="-0.008 0 -{lp*0.8:.4f}"/>
   <site name="{prefix}_EDC_p" pos="0.007 0 -{lp*0.45:.4f}"/>
@@ -49,7 +49,7 @@ def _digit_xml(prefix: str, y: float, lens, rscale: float) -> str:
     <geom name="{prefix}_pip_wrap" type="cylinder" fromto="0 -0.009 0 0 0.009 0" size="0.0065"/>
     <site name="{prefix}_pip_flexside" pos="-0.015 0 -0.006"/>
     <site name="{prefix}_pip_extside" pos="0.015 0 0.006"/>
-    <geom type="capsule" fromto="0 0 0 0 0 -{lm}" size="{rm}" mass="0.015"/>
+    <geom name="{prefix}_mid_geom" type="capsule" fromto="0 0 0 0 0 -{lm}" size="{rm}" mass="0.015" contype="1" conaffinity="2"/>
     <site name="{prefix}_FDP_m" pos="-0.006 0 -{lm*0.5:.4f}"/>
     <site name="{prefix}_EDC_m" pos="0.006 0 -{lm*0.5:.4f}"/>
     <body name="{prefix}_dist" pos="0 0 -{lm}">
@@ -57,7 +57,7 @@ def _digit_xml(prefix: str, y: float, lens, rscale: float) -> str:
       <geom name="{prefix}_dip_wrap" type="cylinder" fromto="0 -0.007 0 0 0.007 0" size="0.005"/>
       <site name="{prefix}_dip_flexside" pos="-0.012 0 -0.005"/>
       <site name="{prefix}_dip_extside" pos="0.012 0 0.005"/>
-      <geom name="{prefix}_tip_geom" type="capsule" fromto="0 0 0 0 0 -{ld}" size="{rd}" mass="0.008"/>
+      <geom name="{prefix}_tip_geom" type="capsule" fromto="0 0 0 0 0 -{ld}" size="{rd}" mass="0.008" contype="1" conaffinity="2"/>
       <site name="{prefix}_FDP_i" pos="-0.005 0 -{ld*0.8:.4f}"/>
       <site name="{prefix}_EDC_i" pos="0.005 0 -{ld*0.6:.4f}"/>
       <site name="{prefix}tip" pos="0 0 -{ld+0.004:.4f}" size="0.004"/>
@@ -152,7 +152,74 @@ def _finger_muscles(prefix: str, extra_ext: str = "") -> str:
   return "\n".join(mus)
 
 
-def build_hand() -> str:
+OBJECT_SNIPPETS = {
+    # sphere resting over the palm (ObjHold task family,
+    # reference myohand_hold.xml scene role)
+    "hold": """
+    <body name="object" pos="{ox} {oy} {oz}">
+      <freejoint name="object_free"/>
+      <geom name="object_geom" type="sphere" size="0.035" mass="0.15"
+            contype="2" conaffinity="5" friction="1 0.01 0.0005"
+            solref="0.015 1" condim="3"/>
+      <site name="object_site" pos="0 0 0" size="0.005"/>
+    </body>
+""",
+    # two baoding balls (reference myohand_baoding.xml scene role)
+    "baoding": """
+    <body name="ball1" pos="{ox} {oy1} {oz}">
+      <freejoint name="ball1_free"/>
+      <geom name="ball1_geom" type="sphere" size="0.022" mass="0.043"
+            contype="2" conaffinity="7" friction="1 0.01 0.0005"
+            solref="0.015 1" condim="3"/>
+      <site name="ball1_site" size="0.004"/>
+    </body>
+    <body name="ball2" pos="{ox} {oy2} {oz}">
+      <freejoint name="ball2_free"/>
+      <geom name="ball2_geom" type="sphere" size="0.022" mass="0.043"
+            contype="2" conaffinity="7" friction="1 0.01 0.0005"
+            solref="0.015 1" condim="3"/>
+      <site name="ball2_site" size="0.004"/>
+    </body>
+""",
+    # die for in-hand reorientation (reference myohand_die.xml role)
+    "die": """
+    <body name="object" pos="{ox} {oy} {oz}">
+      <freejoint name="object_free"/>
+      <geom name="object_geom" type="box" size="0.023 0.023 0.023"
+            mass="0.07" contype="2" conaffinity="5"
+            friction="1 0.01 0.0005" solref="0.015 1" condim="3"/>
+      <site name="object_site" size="0.005"/>
+    </body>
+""",
+    # pen for twirling (reference myohand_pen.xml role)
+    "pen": """
+    <body name="object" pos="{ox} {oy} {oz}" euler="0 1.57 0">
+      <freejoint name="object_free"/>
+      <geom name="object_geom" type="capsule" fromto="-0.06 0 0 0.06 0 0"
+            size="0.009" mass="0.025" contype="2" conaffinity="5"
+            friction="1 0.01 0.0005" solref="0.015 1" condim="3"/>
+      <site name="object_site" size="0.004"/>
+      <site name="object_top" pos="0.06 0 0" size="0.004"/>
+    </body>
+""",
+    # spring-loaded key in front of the fingers (myohand_keyturn.xml role)
+    "key": """
+    <body name="key" pos="{ox} {oy} {oz}">
+      <joint name="key_joint" type="hinge" axis="1 0 0" range="-6.3 0.1"
+             damping="0.003" springref="0" stiffness="0.0"/>
+      <geom name="key_shaft" type="cylinder" fromto="-0.02 0 0 0.02 0 0"
+            size="0.004" mass="0.01" contype="0" conaffinity="0"/>
+      <geom name="key_handle" type="box" pos="0 0 0.018"
+            size="0.003 0.012 0.018" mass="0.01"
+            contype="2" conaffinity="5" friction="1 0.01 0.0005"
+            condim="3"/>
+      <site name="key_site" pos="0 0 0.03" size="0.004"/>
+    </body>
+""",
+}
+
+
+def build_hand(palm_up: bool = False, obj: str = "") -> str:
   digits = []
   tendons = []
   palm_sites = []
@@ -184,7 +251,7 @@ def build_hand() -> str:
     <geom name="TH_mcp_wrap" type="cylinder" fromto="0 -0.01 0 0 0.01 0" size="0.0075"/>
     <site name="TH_mcp_flexside" pos="-0.016 0 -0.006"/>
     <site name="TH_mcp_extside" pos="0.016 0 0.006"/>
-    <geom type="capsule" fromto="0 0 0 0 0 -0.032" size="0.0085" mass="0.02"/>
+    <geom name="TH_prox_geom" type="capsule" fromto="0 0 0 0 0 -0.032" size="0.0085" mass="0.02" contype="1" conaffinity="2"/>
     <site name="TH_FPL_m" pos="-0.006 0 -0.016"/>
     <site name="TH_EPL_m" pos="0.006 0 -0.016"/>
     <site name="TH_EPB_i" pos="0.006 0 -0.01"/>
@@ -193,7 +260,7 @@ def build_hand() -> str:
       <geom name="TH_ip_wrap" type="cylinder" fromto="0 -0.008 0 0 0.008 0" size="0.0055"/>
       <site name="TH_ip_flexside" pos="-0.013 0 -0.005"/>
       <site name="TH_ip_extside" pos="0.013 0 0.005"/>
-      <geom name="TH_tip_geom" type="capsule" fromto="0 0 0 0 0 -0.024" size="0.0065" mass="0.01"/>
+      <geom name="TH_tip_geom" type="capsule" fromto="0 0 0 0 0 -0.024" size="0.0065" mass="0.01" contype="1" conaffinity="2"/>
       <site name="TH_FPL_i" pos="-0.005 0 -0.019"/>
       <site name="TH_EPL_i" pos="0.005 0 -0.014"/>
       <site name="THtip" pos="0 0 -0.028" size="0.004"/>
@@ -295,6 +362,16 @@ def build_hand() -> str:
       f'<muscle name="{n}" tendon="{n}_t" scale="300" timeconst="0.01 0.04"/>'
       for n in ["FCR", "FCU", "PL", "ECRL", "ECRB", "ECU"])
 
+  euler = "0 1.5708 0" if palm_up else "0 0 0"
+  # palm-up object scenes: passive wrist tone so the hand holds level
+  wrist_passive = ' stiffness="3.0" damping="0.5"' if palm_up else ""
+  obj_xml = ""
+  if obj:
+    snippet = OBJECT_SNIPPETS[obj]
+    obj_xml = snippet.format(ox=-0.15 if obj != "key" else -0.26,
+                             oy=0.0, oz=1.245 if obj != "key" else 1.21,
+                             oy1=0.025, oy2=-0.025)
+
   return f"""
 <mujoco model="mtx_hand">
   <compiler angle="radian" autolimits="true">
@@ -307,16 +384,16 @@ def build_hand() -> str:
     <site size="0.003"/>
   </default>
   <worldbody>
-    <body name="forearm" pos="0 0 1.2">
+    <body name="forearm" pos="0 0 1.2" euler="{euler}">
       <geom type="capsule" fromto="0 0 0 0 0 -0.10" size="0.022" mass="1.2"/>
       {wrist_sites_forearm}
       <body name="palm" pos="0 0 -0.10">
-        <joint name="wrist_flex" type="hinge" axis="0 1 0" range="-1.22 1.22"/>
-        <joint name="wrist_dev" type="hinge" axis="1 0 0" range="-0.44 0.44"/>
+        <joint name="wrist_flex" type="hinge" axis="0 1 0" range="-1.22 1.22"{wrist_passive}/>
+        <joint name="wrist_dev" type="hinge" axis="1 0 0" range="-0.44 0.44"{wrist_passive}/>
         <geom name="wrist_wrap" type="cylinder" fromto="0 -0.02 0 0 0.02 0" size="0.014"/>
         <site name="wrist_flexside" pos="-0.03 0 -0.012"/>
         <site name="wrist_extside" pos="0.03 0 0.012"/>
-        <geom name="palm_geom" type="box" pos="0 0.002 -0.05" size="0.012 0.038 0.042" mass="0.35"/>
+        <geom name="palm_geom" type="box" pos="0 0.002 -0.05" size="0.012 0.038 0.042" mass="0.35" contype="1" conaffinity="2"/>
         {wrist_sites_palm}
         {thumb_palm_sites}
         {"".join(palm_sites)}
@@ -324,6 +401,7 @@ def build_hand() -> str:
         {"".join(digits)}
       </body>
     </body>
+    {obj_xml}
   </worldbody>
   <tendon>
     {wrist_tendons}

@@ -233,6 +233,160 @@ def _register_all():
       "MtxHandReachFixed-v0", functools.partial(hand_reach, fixed=True),
       aliases=("MjxHandReachFixed-v0", "myoHandReachFixed-v0"))
 
+  # ---- hand + object manipulation ----
+  from myosuite_tpu.envs.manipulation import (BaodingEnv, KeyTurnEnv,
+                                              ObjHoldEnv, PenTwirlEnv,
+                                              ReorientEnv)
+
+  def manip_config(obj, weights, palm_up=True, **kw):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(
+            hand_mod.build_hand(palm_up=palm_up, obj=obj)),
+        drop_th=1.05,
+        goal_center=(-0.15, 0.0, 1.25),
+        fixed_target=False,
+        reward_weights=config_dict.create(**weights),
+    ))
+    cfg.update(kw)
+    return cfg
+
+  def objhold(overrides=None, fixed=False):
+    cfg = manip_config(
+        "hold", dict(goal_dist=100.0, bonus=4.0, penalty=10.0),
+        goal_span=(0.02, 0.02, 0.02), fixed_target=fixed)
+    return ObjHoldEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandObjHoldRandom-v0", functools.partial(objhold),
+      aliases=("myoHandObjHoldRandom-v0",))
+  register_with_variants(
+      "MtxHandObjHoldFixed-v0", functools.partial(objhold, fixed=True),
+      aliases=("myoHandObjHoldFixed-v0",))
+
+  def die(overrides=None, fixed=False):
+    cfg = manip_config(
+        "die", dict(pos_dist=100.0, rot_dist=1.0, bonus=0.0, penalty=0.0),
+        goal_center=(-0.15, 0.0, 1.235), goal_rot_limit=1.57,
+        fixed_target=fixed)
+    return ReorientEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandDieReorient-v0", functools.partial(die),
+      aliases=("myoChallengeDieReorientP1-v0", "myoHandReorient-v0"))
+
+  def pen(overrides=None, fixed=False):
+    cfg = manip_config(
+        "pen", dict(pos_align=1.0, rot_align=1.0, act_reg=5.0, drop=5.0,
+                    bonus=10.0),
+        goal_center=(-0.15, 0.0, 1.17), goal_pitch_limit=1.0,
+        fixed_target=fixed)
+    return PenTwirlEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandPenTwirlRandom-v0", functools.partial(pen),
+      aliases=("myoHandPenTwirlRandom-v0",))
+  register_with_variants(
+      "MtxHandPenTwirlFixed-v0", functools.partial(pen, fixed=True),
+      aliases=("myoHandPenTwirlFixed-v0",))
+
+  def baoding(overrides=None, fixed=False):
+    cfg = manip_config(
+        "baoding", dict(pos_dist_1=5.0, pos_dist_2=5.0, drop=0.0),
+        goal_center=(-0.15, 0.0, 1.235), goal_radius_x=0.022,
+        goal_radius_y=0.028, goal_speed=0.025,
+        max_episode_steps=200, fixed_target=fixed)
+    return BaodingEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandBaoding-v0", functools.partial(baoding),
+      aliases=("myoChallengeBaodingP1-v1", "myoHandBaodingRandom-v0"))
+
+  def keyturn(overrides=None, fixed=False):
+    cfg = manip_config(
+        "key", dict(key_turn=1.0, IFtip_approach=10.0, THtip_approach=10.0,
+                    act_reg=1.0, bonus=4.0, penalty=25.0),
+        palm_up=False, max_episode_steps=200, fixed_target=fixed)
+    return KeyTurnEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxHandKeyTurnRandom-v0", functools.partial(keyturn),
+      aliases=("myoHandKeyTurnRandom-v0",))
+  register_with_variants(
+      "MtxHandKeyTurnFixed-v0", functools.partial(keyturn, fixed=True),
+      aliases=("myoHandKeyTurnFixed-v0",))
+
+  # ---- myoLeg locomotion (20 DoF / 80 muscles) ----
+  from myosuite_tpu.assets import leg as leg_mod
+  from myosuite_tpu.envs.locomotion import StandEnv, WalkEnv
+
+  leg_xml = builder.finalize_muscles(leg_mod.build_leg())
+
+  def walk_cfg(**kw):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=leg_xml,
+        max_episode_steps=1000,
+        target_velocity=1.2,
+        gait_period=1.0,
+        hip_amplitude=0.4,
+        min_height=0.7,
+        max_rot=0.8,
+        stand_height=0.96,
+        reset_type="init",
+        reward_weights=config_dict.create(
+            vel_reward=5.0, done=100.0, cyclic_hip=-10.0, ref_rot=10.0,
+            joint_angle_rew=5.0, act_reg=1.0),
+    ))
+    cfg.update(kw)
+    return cfg
+
+  def walk(overrides=None):
+    return WalkEnv(walk_cfg(), overrides)
+
+  register_with_variants("MtxLegWalk-v0", walk,
+                         aliases=("myoLegWalk-v0",))
+
+  def stand(overrides=None):
+    cfg = walk_cfg(max_episode_steps=300, reward_weights=config_dict.create(
+        reach=1.0, bonus=4.0, penalty=50.0, act_reg=1.0))
+    return StandEnv(cfg, overrides)
+
+  register_with_variants("MtxLegStand-v0", stand,
+                         aliases=("myoLegReachFixed-v0", "myoLegStand-v0"))
+
+  # ---- reference-motion tracking (MyoDM role) ----
+  from myosuite_tpu.envs.tracking import TrackEnv, make_cyclic_reference
+
+  def track_finger(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=finger_xml, pose_thd=0.6, far_th=4.0,
+        max_episode_steps=200,
+        reward_weights=config_dict.create(pose=1.0, vel=0.2, bonus=1.0,
+                                          penalty=2.0),
+    ))
+    import mujoco as _mj2
+    ref = make_cyclic_reference(_mj2.MjModel.from_xml_string(finger_xml))
+    return TrackEnv(cfg, overrides, reference=ref)
+
+  register_with_variants("MtxFingerTrackCyclic-v0", track_finger,
+                         aliases=("myoDmFingerTrack-v0",))
+
+  def track_hand(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=hand_xml, pose_thd=1.2, far_th=8.0,
+        max_episode_steps=200,
+        reward_weights=config_dict.create(pose=1.0, vel=0.2, bonus=1.0,
+                                          penalty=2.0),
+    ))
+    ref = make_cyclic_reference(hand_mj)
+    return TrackEnv(cfg, overrides, reference=ref)
+
+  register_with_variants("MtxHandTrackCyclic-v0", track_hand,
+                         aliases=("myoDmHandTrack-v0",))
+
   # reafferentation (tendon transfer EIP -> EPL), reference base_v0.py:104-108
   act_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_ACTUATOR.value, i)
                for i in range(hand_mj.nu)]

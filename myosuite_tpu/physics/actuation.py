@@ -25,39 +25,55 @@ from myosuite_tpu.physics.types import (BiasType, Data, DynType, GainType,
 # ---------------------------------------------------------------------------
 
 
-def transmission(m: Model, d: Data) -> Data:
-  """actuator_length and dense actuator_moment (nu, nv)."""
-  if m.nu == 0:
-    return d
-  lengths = []
-  moments = []
+_TRN_PLANS = {}
+
+
+def _trn_plan(m: Model):
+  """Static transmission tables: one-hot joint maps + tendon gathers."""
+  key = id(m)
+  if key in _TRN_PLANS:
+    return _TRN_PLANS[key]
+  gear = np.asarray(jax.device_get(m.actuator_gear))
+  # joint transmissions contribute a CONSTANT moment matrix
+  joint_moment = np.zeros((m.nu, m.nv), dtype=np.float32)
+  len_qmap = np.zeros((m.nu, m.nq), dtype=np.float32)  # length = map @ qpos
+  ten_gather = np.zeros(m.nu, dtype=np.int32)          # tendon id per act
+  ten_scale = np.zeros(m.nu, dtype=np.float32)         # gear0 (0 if not ten)
   for i in range(m.nu):
     trn = int(m.actuator_trntype[i])
     tid = int(m.actuator_trnid[i][0])
-    gear0 = m.actuator_gear[i][0]
     if trn == TrnType.JOINT:
       jtype = int(m.jnt_type[tid])
       qadr = int(m.jnt_qposadr[tid])
       vadr = int(m.jnt_dofadr[tid])
       if jtype in (JointType.SLIDE, JointType.HINGE):
-        lengths.append(d.qpos[qadr] * gear0)
-        moments.append(
-            jnp.zeros(m.nv, dtype=d.qpos.dtype).at[vadr].set(gear0))
+        len_qmap[i, qadr] = gear[i, 0]
+        joint_moment[i, vadr] = gear[i, 0]
       else:
-        # ball/free joints: length 0, moment = gear (angular part)
-        lengths.append(jnp.float32(0.0))
-        mom = jnp.zeros(m.nv, dtype=d.qpos.dtype)
         nd = 3 if jtype == JointType.BALL else 6
-        gear = m.actuator_gear[i][:nd]
-        mom = mom.at[vadr:vadr + nd].set(gear)
-        moments.append(mom)
+        joint_moment[i, vadr:vadr + nd] = gear[i, :nd]
     elif trn == TrnType.TENDON:
-      lengths.append(d.ten_length[tid] * gear0)
-      moments.append(d.ten_J[tid] * gear0)
+      ten_gather[i] = tid
+      ten_scale[i] = gear[i, 0]
     else:
       raise NotImplementedError(f"actuator transmission {trn} not supported")
-  return d.replace(actuator_length=jnp.stack(lengths),
-                   actuator_moment=jnp.stack(moments))
+  plan = (joint_moment, len_qmap, ten_gather, ten_scale)
+  _TRN_PLANS[key] = plan
+  return plan
+
+
+def transmission(m: Model, d: Data) -> Data:
+  """actuator_length and dense actuator_moment (nu, nv), batched."""
+  if m.nu == 0:
+    return d
+  joint_moment, len_qmap, ten_gather, ten_scale = _trn_plan(m)
+  lengths = math.mm(jnp.asarray(len_qmap), d.qpos)
+  moment = jnp.asarray(joint_moment) * jnp.ones((), dtype=d.qpos.dtype)
+  if m.ntendon:
+    scale = jnp.asarray(ten_scale)
+    lengths = lengths + d.ten_length[ten_gather] * scale
+    moment = moment + d.ten_J[ten_gather] * scale[:, None]
+  return d.replace(actuator_length=lengths, actuator_moment=moment)
 
 
 def actuator_velocity(m: Model, d: Data) -> Data:
@@ -225,13 +241,12 @@ def actuation(m: Model, d: Data) -> Data:
 
   qfrc = math.mm(d.actuator_moment.T, force)
 
-  # scatter act_dot back into the activation vector
+  # scatter act_dot back into the activation vector (batched)
   act_dot = d.act_dot
   if m.na:
-    for i in range(m.nu):
-      adr = int(m.actuator_actadr[i])
-      if adr >= 0:
-        act_dot = act_dot.at[adr].set(act_dot_rows[i])
+    adr = np.asarray(m.actuator_actadr)
+    src = np.nonzero(adr >= 0)[0]
+    act_dot = act_dot.at[adr[src]].set(act_dot_rows[src])
 
   return d.replace(actuator_force=force, qfrc_actuator=qfrc,
                    act_dot=act_dot)

@@ -1,18 +1,18 @@
-"""Tendon paths: lengths and moment-arm Jacobians.
+"""Tendon paths: lengths and moment-arm Jacobians, fully vectorized.
 
 Covers MuJoCo fixed tendons (linear in qpos) and spatial tendons as
-site-to-site polylines with pulley branches. Muscle moment arms — the
-quantity the myo models live on — come out as dense (ntendon, nv) Jacobians,
-computed from CoM-frame dof axes so the whole thing is a handful of fused
-VPU ops per env under vmap.
-
-Sphere/cylinder wrap geoms are handled in wrap.py and stitched into the
-same segment accounting.
+site-to-site polylines with pulley branches and sphere/cylinder wrap geoms
+(wrap.py). TPU-first: the host builds a static *segment plan* (tables of
+straight segments and wrap segments across ALL tendons), and the device
+evaluates each class as ONE batched op with scatter-adds into per-tendon
+totals — a 39-muscle hand is two vmapped kernels instead of hundreds of
+unrolled scalar ops (this is what keeps XLA compile time and trace size
+flat as models grow).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +20,13 @@ import numpy as np
 
 from myosuite_tpu.physics import math
 from myosuite_tpu.physics import wrap as wrap_mod
-from myosuite_tpu.physics.types import Data, JointType, Model, WrapType
+from myosuite_tpu.physics.types import Data, Model, WrapType
 
 
 def _body_dof_mask(m: Model) -> np.ndarray:
   """(nbody, nv) mask: 1 iff dof j is an ancestor dof of body b."""
   mask = np.zeros((m.nbody, m.nv), dtype=np.float32)
   for b in range(m.nbody):
-    # walk up the body tree collecting dofs
     body = b
     while body != 0:
       adr = int(m.body_dofadr[body])
@@ -37,35 +36,39 @@ def _body_dof_mask(m: Model) -> np.ndarray:
   return mask
 
 
-def point_jacobian(m: Model, d: Data, point: jax.Array,
-                   bodyid: int) -> jax.Array:
-  """Translational Jacobian (3, nv) of a world point attached to a body.
+class _Plan(NamedTuple):
+  """Static tendon segment tables (host numpy)."""
+  # fixed tendons: dense coefficient matrices
+  fixed_len_w: np.ndarray    # (ntendon, nq)
+  fixed_jac_w: np.ndarray    # (ntendon, nv)
+  # straight segments
+  st_sa: np.ndarray          # (S,) site ids
+  st_sb: np.ndarray
+  st_tid: np.ndarray         # (S,) tendon id
+  st_div: np.ndarray         # (S,) 1/divisor weight
+  # wrap segments, grouped: (sphere?, entries)
+  wr_sa: np.ndarray          # (W,)
+  wr_sb: np.ndarray
+  wr_geom: np.ndarray        # (W,)
+  wr_side: np.ndarray        # (W,) site id, -1 if none
+  wr_sphere: np.ndarray      # (W,) bool
+  wr_tid: np.ndarray
+  wr_div: np.ndarray
 
-  Column i = cdof_ang_i x (point - com_root) + cdof_lin_i, masked to the
-  body's ancestor dofs (mj_jac semantics in CoM frame).
-  """
-  com = d.subtree_com[int(m.body_rootid[bodyid])]
-  offset = point - com
-  jacp = jnp.cross(d.cdof[:, :3], offset[None, :]) + d.cdof[:, 3:]  # (nv, 3)
-  mask = jnp.asarray(_body_dof_mask(m))[bodyid][:, None]
-  return (jacp * mask).T
+
+_PLANS = {}
 
 
-def tendon(m: Model, d: Data) -> Data:
-  """Compute ten_length and ten_J for all tendons (mj_tendon semantics)."""
-  if m.ntendon == 0:
-    return d
+def _plan(m: Model) -> _Plan:
+  key = id(m)
+  if key in _PLANS:
+    return _PLANS[key]
 
-  dof_mask = jnp.asarray(_body_dof_mask(m))
-  com_root = d.subtree_com[m.body_rootid.arr]  # (nbody, 3)
+  fixed_len_w = np.zeros((m.ntendon, m.nq), dtype=np.float32)
+  fixed_jac_w = np.zeros((m.ntendon, m.nv), dtype=np.float32)
+  st, wr = [], []
 
-  def seg_jac(point, bodyid):
-    offset = point - com_root[bodyid]
-    jacp = jnp.cross(d.cdof[:, :3], offset[None, :]) + d.cdof[:, 3:]
-    return jacp * dof_mask[bodyid][:, None]  # (nv, 3)
-
-  lengths = []
-  jacs = []
+  wrap_prm = np.asarray(jax.device_get(m.wrap_prm))
   for t in range(m.ntendon):
     adr = int(m.tendon_adr[t])
     num = int(m.tendon_num[t])
@@ -73,91 +76,156 @@ def tendon(m: Model, d: Data) -> Data:
     objids = [int(m.wrap_objid[adr + k]) for k in range(num)]
 
     if all(wt == WrapType.JOINT for wt in wtypes):
-      # fixed tendon: L = sum coef * qpos[jnt]
-      length = jnp.float32(0.0)
-      jac = jnp.zeros(m.nv, dtype=d.qpos.dtype)
       for k in range(num):
         j = objids[k]
-        coef = m.wrap_prm[adr + k]
-        qadr = int(m.jnt_qposadr[j])
-        vadr = int(m.jnt_dofadr[j])
-        length = length + coef * d.qpos[qadr]
-        jac = jac.at[vadr].add(coef)
-      lengths.append(length)
-      jacs.append(jac)
+        coef = wrap_prm[adr + k]
+        fixed_len_w[t, int(m.jnt_qposadr[j])] += coef
+        fixed_jac_w[t, int(m.jnt_dofadr[j])] += coef
       continue
 
-    # spatial tendon: segmentize the wrap chain on the host, then evaluate
-    segs = []  # ('straight', div, sidA, sidB) | ('wrap', div, sidA, gid, sideid, sidB, is_sphere)
     divisor = 1.0
     cur = None
     k = 0
     while k < num:
       wt = wtypes[k]
       if wt == WrapType.PULLEY:
-        divisor = float(np.asarray(m.wrap_prm)[adr + k])
+        divisor = float(wrap_prm[adr + k])
         cur = None
         k += 1
       elif wt == WrapType.SITE:
         if cur is not None:
-          segs.append(("straight", divisor, cur, objids[k]))
+          st.append((cur, objids[k], t, 1.0 / divisor))
         cur = objids[k]
         k += 1
       elif wt in (WrapType.SPHERE, WrapType.CYLINDER):
         assert cur is not None and k + 1 < num and \
             wtypes[k + 1] == WrapType.SITE, "wrap geom must join two sites"
-        sideid = int(m.wrap_sidesite[adr + k])
-        segs.append(("wrap", divisor, cur, objids[k], sideid,
-                     objids[k + 1], wt == WrapType.SPHERE))
+        wr.append((cur, objids[k + 1], objids[k],
+                   int(m.wrap_sidesite[adr + k]),
+                   wt == WrapType.SPHERE, t, 1.0 / divisor))
         cur = objids[k + 1]
         k += 2
       else:
         raise NotImplementedError(f"wrap type {wt} in tendon {t}")
 
-    length = jnp.float32(0.0)
-    jac = jnp.zeros(m.nv, dtype=d.qpos.dtype)
-    for seg in segs:
-      if seg[0] == "straight":
-        _, div, sa, sb = seg
-        dl, dj = _straight_segment(
-            d.site_xpos[sa], int(m.site_bodyid[sa]),
-            d.site_xpos[sb], int(m.site_bodyid[sb]), seg_jac)
+  st = np.array(st, dtype=np.float64).reshape(-1, 4)
+  wr_arr = np.array([(a, b, g, s, sp, t, dv)
+                     for a, b, g, s, sp, t, dv in wr],
+                    dtype=np.float64).reshape(-1, 7)
+  plan = _Plan(
+      fixed_len_w=fixed_len_w, fixed_jac_w=fixed_jac_w,
+      st_sa=st[:, 0].astype(np.int32), st_sb=st[:, 1].astype(np.int32),
+      st_tid=st[:, 2].astype(np.int32), st_div=st[:, 3].astype(np.float32),
+      wr_sa=wr_arr[:, 0].astype(np.int32),
+      wr_sb=wr_arr[:, 1].astype(np.int32),
+      wr_geom=wr_arr[:, 2].astype(np.int32),
+      wr_side=wr_arr[:, 3].astype(np.int32),
+      wr_sphere=wr_arr[:, 4].astype(bool),
+      wr_tid=wr_arr[:, 5].astype(np.int32),
+      wr_div=wr_arr[:, 6].astype(np.float32),
+  )
+  _PLANS[key] = plan
+  return plan
+
+
+def point_jacobian(m: Model, d: Data, point: jax.Array,
+                   bodyid: int) -> jax.Array:
+  """Translational Jacobian (3, nv) of a world point attached to a body."""
+  com = d.subtree_com[int(m.body_rootid[bodyid])]
+  offset = point - com
+  jacp = jnp.cross(d.cdof[:, :3], offset[None, :]) + d.cdof[:, 3:]  # (nv, 3)
+  mask = jnp.asarray(_body_dof_mask(m))[bodyid][:, None]
+  return (jacp * mask).T
+
+
+def _points_jac(m: Model, d: Data, pts: jax.Array,
+                bodyids: np.ndarray) -> jax.Array:
+  """Batched point jacobians: (N, nv, 3) for N points on given bodies."""
+  dof_mask = jnp.asarray(_body_dof_mask(m))          # (nbody, nv)
+  com_root = d.subtree_com[m.body_rootid.arr]        # (nbody, 3)
+  offset = pts - com_root[bodyids]                   # (N, 3)
+  jacp = (jnp.cross(d.cdof[None, :, :3], offset[:, None, :])
+          + d.cdof[None, :, 3:])                     # (N, nv, 3)
+  return jacp * dof_mask[bodyids][:, :, None]
+
+
+def tendon(m: Model, d: Data) -> Data:
+  """ten_length and ten_J for all tendons (mj_tendon semantics)."""
+  if m.ntendon == 0:
+    return d
+  plan = _plan(m)
+  dtype = d.qpos.dtype
+  site_body = m.site_bodyid.arr
+
+  ten_length = math.mm(jnp.asarray(plan.fixed_len_w), d.qpos)
+  ten_J = jnp.asarray(plan.fixed_jac_w) * jnp.ones((), dtype=dtype)
+
+  def seg_contrib(pa, pb, ba, bb):
+    """Length + dL/dq of batched straight segments between two bodies."""
+    dif = pb - pa
+    length = jax.vmap(math.norm_safe)(dif)
+    u = dif / jnp.maximum(length, 1e-9)[:, None]
+    ja = _points_jac(m, d, pa, ba)
+    jb = _points_jac(m, d, pb, bb)
+    dj = jnp.einsum("nvk,nk->nv", jb - ja, u)
+    return length, dj
+
+  # straight segments: one batched op
+  if len(plan.st_sa):
+    pa = d.site_xpos[plan.st_sa]
+    pb = d.site_xpos[plan.st_sb]
+    length, dj = seg_contrib(pa, pb, site_body[plan.st_sa],
+                             site_body[plan.st_sb])
+    w = jnp.asarray(plan.st_div)
+    ten_length = ten_length.at[plan.st_tid].add(length * w)
+    ten_J = ten_J.at[plan.st_tid].add(dj * w[:, None])
+
+  # wrap segments: one batched wrap solve + masked straight fallback
+  if len(plan.wr_sa):
+    pa = d.site_xpos[plan.wr_sa]
+    pb = d.site_xpos[plan.wr_sb]
+    gpos = d.geom_xpos[plan.wr_geom]
+    gmat = d.geom_xmat[plan.wr_geom]
+    radius = m.geom_size[plan.wr_geom, 0]
+    # group by (is_sphere, has_sidesite): each group is one vmapped solve
+    is_sphere = plan.wr_sphere
+    has_side = plan.wr_side >= 0
+    groups = []
+    for sphere in (True, False):
+      for sided in (True, False):
+        idx = np.nonzero((is_sphere == sphere) & (has_side == sided))[0]
+        if len(idx):
+          groups.append((idx, sphere, sided))
+
+    for idx, sphere, sided in groups:
+      if sided:
+        fn = lambda a, b, gp, gm, r, sd, _s=sphere: wrap_mod.wrap(
+            a, b, gp, gm, r, sd, _s)
+        w1, w2, wlen = jax.vmap(fn)(
+            pa[idx], pb[idx], gpos[idx], gmat[idx], radius[idx],
+            d.site_xpos[plan.wr_side[idx]])
       else:
-        _, div, sa, gid, sideid, sb, is_sphere = seg
-        pa, ba = d.site_xpos[sa], int(m.site_bodyid[sa])
-        pb, bb = d.site_xpos[sb], int(m.site_bodyid[sb])
-        gb = int(m.geom_bodyid[gid])
-        side = d.site_xpos[sideid] if sideid >= 0 else None
-        w1, w2, wlen = wrap_mod.wrap(
-            pa, pb, d.geom_xpos[gid], d.geom_xmat[gid],
-            m.geom_size[gid][0], side, is_sphere)
-        l_a1, j_a1 = _straight_segment(pa, ba, w1, gb, seg_jac)
-        l_a2, j_a2 = _straight_segment(w2, gb, pb, bb, seg_jac)
-        l_s, j_s = _straight_segment(pa, ba, pb, bb, seg_jac)
-        active = wlen >= 0.0
-        dl = jnp.where(active, l_a1 + wlen + l_a2, l_s)
-        dj = jnp.where(active, j_a1 + j_a2, j_s)
-      length = length + dl / div
-      jac = jac + dj / div
+        fn = lambda a, b, gp, gm, r, _s=sphere: wrap_mod.wrap(
+            a, b, gp, gm, r, None, _s)
+        w1, w2, wlen = jax.vmap(fn)(
+            pa[idx], pb[idx], gpos[idx], gmat[idx], radius[idx])
+      ba = site_body[plan.wr_sa[idx]]
+      bb = site_body[plan.wr_sb[idx]]
+      gb = m.geom_bodyid.arr[plan.wr_geom[idx]]
+      l1, j1 = seg_contrib(pa[idx], w1, ba, gb)
+      l2, j2 = seg_contrib(w2, pb[idx], gb, bb)
+      ls, js = seg_contrib(pa[idx], pb[idx], ba, bb)
+      active = wlen >= 0.0
+      length = jnp.where(active, l1 + wlen + l2, ls)
+      dj = jnp.where(active[:, None], j1 + j2, js)
+      w = jnp.asarray(plan.wr_div[idx])
+      ten_length = ten_length.at[plan.wr_tid[idx]].add(length * w)
+      ten_J = ten_J.at[plan.wr_tid[idx]].add(dj * w[:, None])
 
-    lengths.append(length)
-    jacs.append(jac)
-
-  ten_length = jnp.stack(lengths)
-  ten_j = jnp.stack(jacs)
-  return d.replace(ten_length=ten_length, ten_J=ten_j)
-
-
-def _straight_segment(p0, b0, p1, b1, seg_jac) -> Tuple[jax.Array, jax.Array]:
-  """Length and dL/dq of a straight tendon segment between two bodies."""
-  dif = p1 - p0
-  length = math.norm_safe(dif)
-  u = dif / jnp.maximum(length, 1e-9)
-  dj = (seg_jac(p1, b1) - seg_jac(p0, b0)) @ u  # (nv,)
-  return length, dj
+  return d.replace(ten_length=ten_length, ten_J=ten_J.astype(dtype))
 
 
 def tendon_velocity(m: Model, d: Data) -> Data:
   if m.ntendon == 0:
     return d
-  return d.replace(ten_velocity=d.ten_J @ d.qvel)
+  return d.replace(ten_velocity=math.mm(d.ten_J, d.qvel))

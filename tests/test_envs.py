@@ -7,11 +7,27 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import os
+
 import myosuite_tpu
 from myosuite_tpu.envs import registry
 
+# LITE mode (default): representative envs per family; MTX_TEST=FULL sweeps
+# every registered id (reference pattern: ROBOHIVE_TEST=LITE,
+# /root/reference/myosuite/tests/test_envs.py:44-51).
+_LITE_SET = [
+    "MtxElbowPoseRandom-v0", "MtxFingerPoseFixed-v0",
+    "MtxFingerReachRandom-v0", "MtxFatiElbowPoseRandom-v0",
+    "MtxSarcFingerPoseRandom-v0", "MtxHandReachRandom-v0",
+    "MtxHandObjHoldRandom-v0", "MtxLegWalk-v0",
+    "MtxFingerTrackCyclic-v0",
+]
+_SWEEP = (registry.registered_envs()
+          if os.environ.get("MTX_TEST", "LITE").upper() == "FULL"
+          else [n for n in _LITE_SET if n in registry.registered_envs()])
 
-@pytest.mark.parametrize("name", registry.registered_envs())
+
+@pytest.mark.parametrize("name", _SWEEP)
 def test_env_conformance(name):
   env = myosuite_tpu.make(name)
   rng = jax.random.PRNGKey(0)
