@@ -25,14 +25,17 @@ FINGERS = [
 ]
 
 
-def _digit_xml(prefix: str, y: float, lens, rscale: float) -> str:
+def _digit_xml(prefix: str, y: float, lens, rscale: float,
+               abd: bool = True) -> str:
   lp, lm, ld = lens
   r = 0.009 * rscale
   rm = 0.0075 * rscale
   rd = 0.006 * rscale
+  abd_jnt = (f'<joint name="{prefix}_mcp_abd" type="hinge" axis="1 0 0" '
+             'range="-0.35 0.35"/>') if abd else ""
   s = f"""
 <body name="{prefix}_prox" pos="0 {y} -0.085">
-  <joint name="{prefix}_mcp_abd" type="hinge" axis="1 0 0" range="-0.35 0.35"/>
+  {abd_jnt}
   <joint name="{prefix}_mcp_flex" type="hinge" axis="0 1 0" range="-0.3 1.57"/>
   <geom name="{prefix}_mcp_wrap" type="cylinder" fromto="0 -0.012 0 0 0.012 0" size="0.0085"/>
   <site name="{prefix}_mcp_flexside" pos="-0.02 0 -0.008"/>
@@ -219,14 +222,18 @@ OBJECT_SNIPPETS = {
 }
 
 
-def build_hand(palm_up: bool = False, obj: str = "") -> str:
+def build_hand(palm_up: bool = False, obj: str = "",
+               arm: bool = False) -> str:
   digits = []
   tendons = []
   palm_sites = []
   muscles = []
   for p, y, lens, rs in FINGERS:
     extra = "EIP" if p == "IF" else ("EDM" if p == "LF" else "")
-    digits.append(_digit_xml(p, y, lens, rs))
+    # arm mode drops LF mcp abduction so the full myoArm lands on the
+    # documented 27-DoF anchor (/root/reference/docs/source/suite.rst:189)
+    abd = not (arm and p == "LF")
+    digits.append(_digit_xml(p, y, lens, rs, abd=abd))
     tendons.append(_finger_tendons(p, extra))
     palm_sites.append(_finger_palm_sites(p, y, extra))
     muscles.append(_finger_muscles(p, extra))
@@ -332,14 +339,16 @@ def build_hand(palm_up: bool = False, obj: str = "") -> str:
 <muscle name="TH_OPP" tendon="TH_OPP_t" scale="120" timeconst="0.01 0.04"/>
 """
 
-  # wrist muscles: forearm -> palm over the wrist wrap
-  wrist_sites_forearm = """
-<site name="FCR_o" pos="-0.012 0.008 -0.06"/>
-<site name="FCU_o" pos="-0.012 -0.008 -0.06"/>
-<site name="PL_o" pos="-0.013 0 -0.07"/>
-<site name="ECRL_o" pos="0.012 0.010 -0.05"/>
-<site name="ECRB_o" pos="0.012 0.004 -0.06"/>
-<site name="ECU_o" pos="0.012 -0.008 -0.06"/>
+  # wrist muscles: forearm -> palm over the wrist wrap; origin depth scales
+  # with the forearm length (longer forearm in arm mode)
+  fz = -0.19 if arm else -0.06
+  wrist_sites_forearm = f"""
+<site name="FCR_o" pos="-0.012 0.008 {fz}"/>
+<site name="FCU_o" pos="-0.012 -0.008 {fz}"/>
+<site name="PL_o" pos="-0.013 0 {fz - 0.01:.3f}"/>
+<site name="ECRL_o" pos="0.012 0.010 {fz + 0.01:.3f}"/>
+<site name="ECRB_o" pos="0.012 0.004 {fz}"/>
+<site name="ECU_o" pos="0.012 -0.008 {fz}"/>
 """
   wrist_sites_palm = """
 <site name="FCR_i" pos="-0.010 0.012 -0.015"/>
@@ -372,22 +381,8 @@ def build_hand(palm_up: bool = False, obj: str = "") -> str:
                              oy=0.0, oz=1.245 if obj != "key" else 1.21,
                              oy1=0.025, oy2=-0.025)
 
-  return f"""
-<mujoco model="mtx_hand">
-  <compiler angle="radian" autolimits="true">
-    <lengthrange mode="none"/>
-  </compiler>
-  <option timestep="0.002" iterations="6" ls_iterations="6"/>
-  <default>
-    <joint limited="true" damping="0.02" armature="0.0002"/>
-    <geom contype="0" conaffinity="0" friction="1 0.005 0.0001"/>
-    <site size="0.003"/>
-  </default>
-  <worldbody>
-    <body name="forearm" pos="0 0 1.2" euler="{euler}">
-      <geom type="capsule" fromto="0 0 0 0 0 -0.10" size="0.022" mass="1.2"/>
-      {wrist_sites_forearm}
-      <body name="palm" pos="0 0 -0.10">
+  palm_subtree = f"""
+      <body name="palm" pos="0 0 {-0.25 if arm else -0.10}">
         <joint name="wrist_flex" type="hinge" axis="0 1 0" range="-1.22 1.22"{wrist_passive}/>
         <joint name="wrist_dev" type="hinge" axis="1 0 0" range="-0.44 0.44"{wrist_passive}/>
         <geom name="wrist_wrap" type="cylinder" fromto="0 -0.02 0 0 0.02 0" size="0.014"/>
@@ -399,19 +394,143 @@ def build_hand(palm_up: bool = False, obj: str = "") -> str:
         {"".join(palm_sites)}
         {thumb}
         {"".join(digits)}
+      </body>"""
+
+  if arm:
+    arm_sites, arm_tendons, arm_muscles = _arm_muscles()
+    worldbody = f"""
+    <body name="thorax" pos="0 0 1.7">
+      <geom name="thorax_geom" type="box" pos="0 0.14 -0.1" size="0.08 0.12 0.18" mass="20.0"/>
+      {arm_sites['thorax']}
+      <body name="upper_arm" pos="0 0 0">
+        <joint name="shoulder_flex" type="hinge" axis="0 1 0" range="-1.0 3.0"/>
+        <joint name="shoulder_abd" type="hinge" axis="1 0 0" range="-0.5 1.57"/>
+        <joint name="shoulder_rot" type="hinge" axis="0 0 1" range="-1.2 1.2"/>
+        <geom name="shoulder_wrap" type="cylinder" fromto="0 -0.035 0 0 0.035 0" size="0.032"/>
+        <site name="sh_front" pos="-0.07 0 -0.03"/>
+        <site name="sh_back" pos="0.07 0 -0.03"/>
+        <geom name="humerus_geom" type="capsule" fromto="0 0 0 0 0 -0.28" size="0.028" mass="2.2"/>
+        {arm_sites['upper_arm']}
+        <body name="forearm" pos="0 0 -0.28">
+          <joint name="elbow_flex" type="hinge" axis="0 1 0" range="0 2.27"/>
+          <joint name="pro_sup" type="hinge" axis="0 0 -1" range="-1.57 1.57"/>
+          <geom name="elbow_wrap" type="cylinder" fromto="0 -0.03 0 0 0.03 0" size="0.02"/>
+          <site name="elbow_flexside" pos="-0.05 0 -0.02"/>
+          <site name="elbow_extside" pos="0.05 0 0.02"/>
+          <geom name="ulna_geom" type="capsule" fromto="0 0 0 0 0 -0.25" size="0.02" mass="1.2"/>
+          {arm_sites['forearm']}
+          {wrist_sites_forearm}
+          {palm_subtree}
+        </body>
       </body>
     </body>
-    {obj_xml}
+    {obj_xml}"""
+    extra_tendons, extra_muscles = arm_tendons, arm_muscles
+  else:
+    worldbody = f"""
+    <body name="forearm" pos="0 0 1.2" euler="{euler}">
+      <geom type="capsule" fromto="0 0 0 0 0 -0.10" size="0.022" mass="1.2"/>
+      {wrist_sites_forearm}
+      {palm_subtree}
+    </body>
+    {obj_xml}"""
+    extra_tendons, extra_muscles = "", ""
+
+  return f"""
+<mujoco model="{'mtx_arm' if arm else 'mtx_hand'}">
+  <compiler angle="radian" autolimits="true">
+    <lengthrange mode="none"/>
+  </compiler>
+  <option timestep="0.002" iterations="6" ls_iterations="6"/>
+  <default>
+    <joint limited="true" damping="0.02" armature="0.0002"/>
+    <geom contype="0" conaffinity="0" friction="1 0.005 0.0001"/>
+    <site size="0.003"/>
+  </default>
+  <worldbody>
+    {worldbody}
   </worldbody>
   <tendon>
+    {extra_tendons}
     {wrist_tendons}
     {thumb_tendons}
     {"".join(tendons)}
   </tendon>
   <actuator>
+    {extra_muscles}
     {wrist_muscles}
     {thumb_muscles}
     {chr(10).join(muscles)}
   </actuator>
 </mujoco>
 """
+
+
+def _arm_muscles():
+  """24 shoulder/elbow/forearm muscles for the full myoArm
+  (63 total with the hand's 39; anchor
+  /root/reference/docs/source/suite.rst:189: myoArm 27 DoF / 63 muscles).
+
+  Returns (sites_by_body, tendon_xml, muscle_xml). Anterior is -x (the
+  convention of the elbow/hand builders); shoulder/elbow cylinder wraps with
+  sidesites set the moment-arm sign.
+  """
+  # (name, origin(body, pos), insertion(body, pos), wraps, via, scale)
+  shw_f, shw_b = ("shoulder_wrap", "sh_front"), ("shoulder_wrap", "sh_back")
+  elw_f, elw_b = ("elbow_wrap", "elbow_flexside"), ("elbow_wrap", "elbow_extside")
+  T, U, F = "thorax", "upper_arm", "forearm"
+  specs = [
+      ("DELT1", (T, (-0.03, 0.02, 0.02)), (U, (-0.008, 0.0, -0.08)), [shw_f], None, 500),
+      ("DELT2", (T, (0.0, -0.04, 0.04)), (U, (0.0, -0.012, -0.08)), [], None, 500),
+      ("DELT3", (T, (0.03, 0.02, 0.02)), (U, (0.008, 0.0, -0.08)), [shw_b], None, 400),
+      ("PECM1", (T, (-0.05, 0.06, -0.02)), (U, (-0.01, -0.005, -0.05)), [shw_f], None, 500),
+      ("PECM2", (T, (-0.05, 0.08, -0.06)), (U, (-0.01, -0.005, -0.055)), [shw_f], None, 500),
+      ("PECM3", (T, (-0.05, 0.10, -0.10)), (U, (-0.01, -0.005, -0.06)), [shw_f], None, 400),
+      ("LAT1", (T, (0.05, 0.06, -0.08)), (U, (0.006, -0.008, -0.06)), [shw_b], None, 500),
+      ("LAT2", (T, (0.05, 0.08, -0.12)), (U, (0.006, -0.008, -0.065)), [shw_b], None, 500),
+      ("LAT3", (T, (0.05, 0.10, -0.16)), (U, (0.006, -0.008, -0.07)), [shw_b], None, 400),
+      ("TERmaj", (T, (0.04, 0.04, -0.05)), (U, (0.008, -0.005, -0.05)), [shw_b], None, 300),
+      ("SUPSP", (T, (0.01, 0.05, 0.05)), (U, (0.0, -0.01, -0.02)), [], None, 300),
+      ("INFSP", (T, (0.04, 0.05, 0.0)), (U, (0.01, -0.005, -0.03)), [], None, 300),
+      ("CORB", (T, (-0.03, 0.03, -0.01)), (U, (-0.005, 0.0, -0.12)), [], None, 250),
+      ("BIClong", (T, (-0.02, 0.015, 0.02)), (F, (-0.02, 0.0, -0.03)), [elw_f], (U, (-0.03, 0.0, -0.20)), 600),
+      ("BICshort", (T, (-0.03, 0.03, 0.0)), (F, (-0.02, 0.0, -0.035)), [elw_f], (U, (-0.03, 0.0, -0.21)), 450),
+      ("BRA", (U, (-0.026, 0.0, -0.16)), (F, (-0.018, 0.0, -0.05)), [elw_f], None, 500),
+      ("BRD", (U, (-0.022, 0.0, -0.13)), (F, (-0.015, 0.0, -0.15)), [elw_f], None, 250),
+      ("TRIlong", (T, (0.02, 0.015, 0.0)), (F, (0.02, 0.0, -0.02)), [elw_b], (U, (0.03, 0.0, -0.20)), 700),
+      ("TRIlat", (U, (0.026, 0.0, -0.10)), (F, (0.02, 0.0, -0.022)), [elw_b], None, 500),
+      ("TRImed", (U, (0.026, 0.0, -0.16)), (F, (0.02, 0.0, -0.025)), [elw_b], None, 500),
+      ("ANC", (U, (0.022, 0.0, -0.25)), (F, (0.018, 0.0, -0.04)), [elw_b], None, 200),
+      ("PT", (U, (-0.02, 0.012, -0.26)), (F, (-0.01, -0.016, -0.08)), [], None, 350),
+      ("PQ", (U, (-0.012, 0.01, -0.27)), (F, (-0.008, -0.014, -0.06)), [], None, 200),
+      ("SUP", (U, (0.015, 0.012, -0.26)), (F, (0.004, 0.016, -0.06)), [], None, 200),
+  ]
+  assert len(specs) == 24
+  sites = {"thorax": [], "upper_arm": [], "forearm": []}
+  tendons, muscles = [], []
+  for name, org, ins, wraps, via, scale in specs:
+    sites[org[0]].append(
+        f'<site name="{name}_o" pos="{org[1][0]} {org[1][1]} {org[1][2]}"/>')
+    sites[ins[0]].append(
+        f'<site name="{name}_i" pos="{ins[1][0]} {ins[1][1]} {ins[1][2]}"/>')
+    chain = ""
+    if via is not None:
+      sites[via[0]].append(
+          f'<site name="{name}_v" pos="{via[1][0]} {via[1][1]} {via[1][2]}"/>')
+      if len(wraps) == 1:
+        chain = (f'\n  <site site="{name}_v"/>'
+                 f'\n  <geom geom="{wraps[0][0]}" sidesite="{wraps[0][1]}"/>')
+      else:
+        chain = f'\n  <site site="{name}_v"/>'
+    else:
+      chain = "".join(f'\n  <geom geom="{g}" sidesite="{s}"/>'
+                      for g, s in wraps)
+    tendons.append(
+        f'<spatial name="{name}_t" width="0.003">\n'
+        f'  <site site="{name}_o"/>{chain}\n'
+        f'  <site site="{name}_i"/>\n</spatial>')
+    muscles.append(
+        f'<muscle name="{name}" tendon="{name}_t" scale="{scale}"'
+        f' timeconst="0.01 0.04"/>')
+  return ({k: "".join(v) for k, v in sites.items()},
+          "\n".join(tendons), "\n".join(muscles))

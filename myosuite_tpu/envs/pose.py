@@ -28,6 +28,11 @@ class PoseEnv(MyoEnv):
     lo = jnp.asarray(self._config.target_jnt_lo, dtype=jnp.float32)
     hi = jnp.asarray(self._config.target_jnt_hi, dtype=jnp.float32)
     if self._config.get("fixed_target", False):
+      # explicit fixed posture (e.g. ASL hand signs,
+      # reference pose_v0 hand envs myobase/__init__.py:327-394)
+      explicit = self._config.get("target_jnt_value", None)
+      if explicit is not None:
+        return jnp.asarray(explicit, dtype=jnp.float32)
       return 0.5 * (lo + hi)
     return jax.random.uniform(rng, lo.shape, minval=lo, maxval=hi)
 

@@ -387,6 +387,108 @@ def _register_all():
   register_with_variants("MtxHandTrackCyclic-v0", track_hand,
                          aliases=("myoDmHandTrack-v0",))
 
+  # ---- ASL hand postures (reference registers 10 ASL pose targets,
+  # myobase/__init__.py:327-394) ----
+  jnt_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_JOINT.value, j)
+               for j in range(hand_mj.njnt)]
+  jr = hand_mj.jnt_range
+
+  def _asl_target(pattern: Dict[str, float]):
+    """pattern: digit prefix -> flexion fraction of joint range."""
+    q = np.zeros(hand_mj.nq)
+    for j, name in enumerate(jnt_names):
+      prefix = name.split("_")[0]
+      frac = pattern.get(prefix, 0.05)
+      if name.endswith("_abd") or name.endswith("_dev") or "wrist" in name:
+        frac = 0.0 if "wrist" in name or name.endswith("_dev") else 0.5
+      lo, hi = jr[j]
+      q[j] = lo + frac * (hi - lo)
+    return tuple(q.tolist())
+
+  E, F, O = 0.05, 0.85, 0.55   # extended / flexed / opposed-curved
+  asl_patterns = [
+      {"TH": O, "IF": 0.6, "MF": 0.6, "RF": 0.6, "LF": 0.6},   # 0
+      {"TH": F, "IF": E, "MF": F, "RF": F, "LF": F},           # 1
+      {"TH": F, "IF": E, "MF": E, "RF": F, "LF": F},           # 2
+      {"TH": E, "IF": E, "MF": E, "RF": F, "LF": F},           # 3
+      {"TH": F, "IF": E, "MF": E, "RF": E, "LF": E},           # 4
+      {"TH": E, "IF": E, "MF": E, "RF": E, "LF": E},           # 5
+      {"TH": O, "IF": E, "MF": E, "RF": E, "LF": O},           # 6
+      {"TH": O, "IF": E, "MF": E, "RF": O, "LF": E},           # 7
+      {"TH": O, "IF": E, "MF": O, "RF": E, "LF": E},           # 8
+      {"TH": O, "IF": O, "MF": E, "RF": E, "LF": E},           # 9
+  ]
+
+  def hand_pose_asl(overrides=None, target=None):
+    cfg = pose_config(hand_xml, h_lo, h_hi, fixed_target=True,
+                      target_jnt_value=target, pose_thd=1.0)
+    return PoseEnv(cfg, overrides)
+
+  for k, pat in enumerate(asl_patterns):
+    register(f"MtxHandPose{k}Fixed-v0",
+             functools.partial(hand_pose_asl, target=_asl_target(pat)),
+             aliases=(f"myoHandPose{k}Fixed-v0",))
+
+  # ---- myoTorso (18 joints / 210 muscle fascicles) ----
+  from myosuite_tpu.assets import torso as torso_mod
+
+  torso_xml = builder.finalize_muscles(torso_mod.build_torso())
+  torso_mj = _mj.MjModel.from_xml_string(torso_xml)
+  t_lo = torso_mj.jnt_range[:, 0].tolist()
+  t_hi = torso_mj.jnt_range[:, 1].tolist()
+
+  def torso_pose(overrides=None, fixed=False):
+    cfg = pose_config(torso_xml, t_lo, t_hi, fixed_target=fixed,
+                      pose_thd=0.5)
+    cfg.reward_weights.update(dict(done=0.0))
+    return PoseEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxTorsoPoseRandom-v0", functools.partial(torso_pose),
+      aliases=("myoTorsoPoseRandom-v0",))
+  register_with_variants(
+      "MtxTorsoPoseFixed-v0", functools.partial(torso_pose, fixed=True),
+      aliases=("myoTorsoPoseFixed-v0",))
+
+  # ---- myoArm reach via model surgery (myoedits role) ----
+  from myosuite_tpu.assets.editor import build_arm_reach_xml
+
+  armreach_xml = build_arm_reach_xml()
+  arm_mj = _mj.MjModel.from_xml_string(armreach_xml)
+  ad = _mj.MjData(arm_mj)
+  _mj.mj_forward(arm_mj, ad)
+  iftip0 = ad.site_xpos[
+      _mj.mj_name2id(arm_mj, _mj.mjtObj.mjOBJ_SITE.value, "IFtip")].copy()
+  arm_span = np.array([0.15, 0.15, 0.15])
+
+  def arm_reach(overrides=None, fixed=False):
+    cfg = reach_config(armreach_xml, ["IFtip"],
+                       (iftip0 - arm_span)[None], (iftip0 + arm_span)[None],
+                       fixed_target=fixed, far_th=1.0)
+    return ReachEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxArmReachRandom-v0", functools.partial(arm_reach),
+      aliases=("myoArmReachRandom-v0",))
+  register_with_variants(
+      "MtxArmReachFixed-v0", functools.partial(arm_reach, fixed=True),
+      aliases=("myoArmReachFixed-v0",))
+
+  # ---- myoArm pose (27 DoF / 63 muscles full arm+hand) ----
+  arm_xml = builder.finalize_muscles(hand_mod.build_hand(arm=True))
+  armfull_mj = _mj.MjModel.from_xml_string(arm_xml)
+  a_lo = armfull_mj.jnt_range[:, 0].tolist()
+  a_hi = armfull_mj.jnt_range[:, 1].tolist()
+
+  def arm_pose(overrides=None, fixed=False):
+    cfg = pose_config(arm_xml, a_lo, a_hi, fixed_target=fixed, pose_thd=1.5,
+                      far_th=8.0)
+    return PoseEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxArmPoseRandom-v0", functools.partial(arm_pose),
+      aliases=("myoArmPoseRandom-v0",))
+
   # reafferentation (tendon transfer EIP -> EPL), reference base_v0.py:104-108
   act_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_ACTUATOR.value, i)
                for i in range(hand_mj.nu)]

@@ -20,7 +20,8 @@ _LITE_SET = [
     "MtxFingerReachRandom-v0", "MtxFatiElbowPoseRandom-v0",
     "MtxSarcFingerPoseRandom-v0", "MtxHandReachRandom-v0",
     "MtxHandObjHoldRandom-v0", "MtxLegWalk-v0",
-    "MtxFingerTrackCyclic-v0",
+    "MtxFingerTrackCyclic-v0", "MtxTorsoPoseRandom-v0",
+    "MtxArmReachRandom-v0", "MtxHandPose3Fixed-v0",
 ]
 _SWEEP = (registry.registered_envs()
           if os.environ.get("MTX_TEST", "LITE").upper() == "FULL"
