@@ -90,7 +90,14 @@ _BODY_TAG = {"P": "pelvis", "F": "{s}_femur", "T": "{s}_tibia",
              "C": "{s}_foot", "O": "{s}_toes"}
 
 
-def build_leg(floor: bool = True, pelvis_free: bool = True) -> str:
+def build_leg(floor: bool = True, pelvis_free: bool = True,
+              terrain: bool = False,
+              terrain_nrow: int = 48, terrain_ncol: int = 192,
+              terrain_extent=(12.0, 3.0)) -> str:
+  """When terrain=True the floor plane is replaced by a heightfield geom
+  (the role of the reference's in-place hfield regeneration per reset,
+  /root/reference/myosuite/envs/myo/myobase/walk_v0.py:576-647); the height
+  grid itself is dynamic Data, written by the terrain env at reset."""
   sites = {"pelvis": [], "r_femur": [], "r_tibia": [], "r_foot": [],
            "r_toes": [], "l_femur": [], "l_tibia": [], "l_foot": [],
            "l_toes": []}
@@ -172,9 +179,19 @@ def build_leg(floor: bool = True, pelvis_free: bool = True) -> str:
 """
 
   root_joint = '<freejoint name="root"/>' if pelvis_free else ""
-  floor_xml = ('<geom name="floor" type="plane" size="50 50 0.1" '
-               'contype="4" conaffinity="1" friction="1.2 0.005 0.0001" '
-               'condim="3"/>') if floor else ""
+  if terrain:
+    ex, ey = terrain_extent
+    asset_xml = (f'<asset><hfield name="terrain" nrow="{terrain_nrow}" '
+                 f'ncol="{terrain_ncol}" size="{ex} {ey} 1.0 0.1"/></asset>')
+    # track extends forward: x spans [-2, 2*ex - 2]
+    floor_xml = (f'<geom name="terrain" type="hfield" hfield="terrain" '
+                 f'pos="{ex - 2.0} 0 0" contype="4" conaffinity="1" '
+                 f'friction="1.2 0.005 0.0001" condim="3"/>')
+  else:
+    asset_xml = ""
+    floor_xml = ('<geom name="floor" type="plane" size="50 50 0.1" '
+                 'contype="4" conaffinity="1" friction="1.2 0.005 0.0001" '
+                 'condim="3"/>') if floor else ""
 
   return f"""
 <mujoco model="mtx_leg">
@@ -182,6 +199,7 @@ def build_leg(floor: bool = True, pelvis_free: bool = True) -> str:
     <lengthrange mode="none"/>
   </compiler>
   <option timestep="0.002" iterations="6" ls_iterations="6"/>
+  {asset_xml}
   <default>
     <joint limited="true" damping="0.5" armature="0.01"/>
     <geom contype="0" conaffinity="0"/>

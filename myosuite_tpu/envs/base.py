@@ -187,11 +187,14 @@ class MyoEnv(abc.ABC):
     return total
 
   def _make_data(self, qpos: jax.Array, qvel: jax.Array,
-                 act: Optional[jax.Array] = None) -> Data:
+                 act: Optional[jax.Array] = None,
+                 hfield: Optional[jax.Array] = None) -> Data:
     d = physics_io.make_data(self._model)
     d = d.replace(qpos=qpos, qvel=qvel)
     if act is not None:
       d = d.replace(act=act)
+    if hfield is not None:
+      d = d.replace(hfield_data=hfield)
     # settle derived quantities so obs at reset are valid
     d = physics_forward.fwd_position(self._model, d)
     d = physics_forward.fwd_velocity(self._model, d)

@@ -102,7 +102,8 @@ def egocentric_heightmap(hfield: jax.Array, root_xy: jax.Array,
                          root_yaw: jax.Array,
                          extent: Tuple[float, float],
                          grid: int = 10,
-                         span: float = 1.0) -> jax.Array:
+                         span: float = 1.0,
+                         base: Tuple[float, float] = (0.0, 0.0)) -> jax.Array:
   """10x10 heightmap around the agent, rotated into its heading frame.
 
   Reference semantics: HeightField.get_heightmap_obs rotates the probe grid
@@ -115,5 +116,5 @@ def egocentric_heightmap(hfield: jax.Array, root_xy: jax.Array,
   rot = jnp.array([[c, -s], [s, c]])
   world = rot @ pts + root_xy[:, None]
   heights = jax.vmap(
-      lambda p: sample_height(hfield, p, extent))(world.T)
+      lambda p: sample_height(hfield, p, extent, base))(world.T)
   return heights.reshape(grid, grid)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import mujoco
 import numpy as np
 
+from myosuite_tpu.envs import heightfields
 from myosuite_tpu.envs.base import MyoEnv, State
 from myosuite_tpu.physics import math as pmath
 from myosuite_tpu.physics.types import Data
@@ -154,6 +155,86 @@ class WalkEnv(MyoEnv):
     return {**state.info, "rng": rng, "truncation": truncation,
             "step_count": jnp.where(boundary, jnp.int32(0),
                                     state.info["step_count"])}
+
+
+class TerrainWalkEnv(WalkEnv):
+  """Walking over procedural terrain (reference TerrainEnvV0 role,
+  /root/reference/myosuite/envs/myo/myobase/walk_v0.py:497-647: regenerate
+  the heightfield in place at every reset — here the terrain grid is
+  per-env Data regenerated inside the jitted reset, so rough/hilly/stairs
+  variation costs no host round-trip).
+
+  Adds an egocentric 10x10 heightmap observation (heightfields.py:109-153
+  semantics: probe grid rotated by root yaw, bilinear terrain sampling).
+  """
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    gid = int(self._model.hfield_geomid)
+    assert gid >= 0, "TerrainWalkEnv needs an hfield geom"
+    self._hf_base = tuple(np.asarray(mj.geom_pos[gid][:2], dtype=float))
+    sz = np.asarray(mj.hfield_size[0], dtype=float)
+    self._hf_extent = (2.0 * sz[0], 2.0 * sz[1])
+    self._hf_shape = (self._model.hfield_nrow, self._model.hfield_ncol)
+
+  def _terrain(self, rng: jax.Array) -> jax.Array:
+    kind = self._config.get("terrain_type", "random")
+    shape = self._hf_shape
+    if kind == "random":
+      rng, sub = jax.random.split(rng)
+      code = jax.random.randint(sub, (), 1, 4)  # rough/hilly/stairs
+      hf = heightfields.generate(rng, code, shape)
+    else:
+      code = int(heightfields.TerrainType[kind.upper()])
+      hf = heightfields.generate(rng, jnp.int32(code), shape)
+    # flat spawn pad: ramp terrain in over [0.5 m, 2 m] ahead of the start
+    ncol = shape[1]
+    x = (self._hf_base[0]
+         + (jnp.arange(ncol) / (ncol - 1) - 0.5) * self._hf_extent[0])
+    fade = jnp.clip((x - 0.5) / 1.5, 0.0, 1.0)
+    return hf * fade[None, :]
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1, r2 = jax.random.split(rng, 3)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    if self._config.get("reset_type", "init") == "random":
+      noise = jax.random.uniform(r1, (m.nq,), minval=-0.02, maxval=0.02)
+      qpos = qpos + noise.at[:7].set(0.0)
+    qvel = jnp.zeros(m.nv)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0)}
+    data = self._make_data(qpos, qvel, hfield=self._terrain(r2))
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    metrics = {"vel_reward": zero, "cyclic_hip": zero, "ref_rot": zero,
+               "joint_angle_rew": zero, "solved": zero}
+    return State(data, obs, zero, zero, metrics, info)
+
+  def _root_yaw(self, data: Data) -> jax.Array:
+    q = data.qpos[3:7]
+    return jnp.arctan2(2 * (q[0] * q[3] + q[1] * q[2]),
+                       1 - 2 * (q[2] ** 2 + q[3] ** 2))
+
+  def _ground_height(self, data: Data) -> jax.Array:
+    return heightfields.sample_height(
+        data.hfield_data, data.qpos[0:2], self._hf_extent, self._hf_base)
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    obs = super()._get_obs(data, info)
+    hmap = heightfields.egocentric_heightmap(
+        data.hfield_data, data.qpos[0:2], self._root_yaw(data),
+        self._hf_extent, base=self._hf_base)
+    rel = hmap - data.qpos[2]   # heights relative to pelvis, reference
+    return {"state": jnp.concatenate([obs["state"], rel.ravel()])}
+
+  def _fallen(self, data: Data) -> jax.Array:
+    height = (data.site_xpos[self._pelvis_site][2]
+              - self._ground_height(data))
+    rot = jnp.linalg.norm(self._torso_angle(data))
+    return jnp.float32((height < self._config.min_height)
+                       | (rot > self._config.max_rot))
 
 
 class StandEnv(WalkEnv):

@@ -355,6 +355,26 @@ def _register_all():
   register_with_variants("MtxLegStand-v0", stand,
                          aliases=("myoLegReachFixed-v0", "myoLegStand-v0"))
 
+  # terrain walking (reference TerrainEnvV0 rough/hilly/stairs variants,
+  # myobase/__init__.py registrations of myoLeg*TerrainWalk-v0)
+  from myosuite_tpu.envs.locomotion import TerrainWalkEnv
+
+  terrain_xml = builder.finalize_muscles(leg_mod.build_leg(terrain=True))
+
+  def terrain_walk(overrides=None, kind="random"):
+    cfg = walk_cfg(model_xml=terrain_xml, terrain_type=kind)
+    return TerrainWalkEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxLegWalkRough-v0", functools.partial(terrain_walk, kind="rough"),
+      aliases=("myoLegRoughTerrainWalk-v0",))
+  register_with_variants(
+      "MtxLegWalkHilly-v0", functools.partial(terrain_walk, kind="hilly"),
+      aliases=("myoLegHillyTerrainWalk-v0",))
+  register_with_variants(
+      "MtxLegWalkStairs-v0", functools.partial(terrain_walk, kind="stairs"),
+      aliases=("myoLegStairTerrainWalk-v0",))
+
   # ---- reference-motion tracking (MyoDM role) ----
   from myosuite_tpu.envs.tracking import TrackEnv, make_cyclic_reference
 

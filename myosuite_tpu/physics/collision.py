@@ -197,6 +197,92 @@ def _box_box(p1, m1, s1, p2, m2, s2):
   return dist, pos, n
 
 
+# ---- heightfield kernels -----------------------------------------------
+# TPU-native terrain contacts: instead of MuJoCo's prism decomposition
+# (branchy, data-dependent), sample the height grid under the moving geom and
+# collide against the local tangent plane (height + finite-difference
+# normal). Exact for terrain whose curvature is below the geom radius —
+# true for the walkable ROUGH/HILLY/STAIRS families
+# (/root/reference/myosuite/envs/heightfields.py:374-409).
+
+
+def _hf_height(hdata: jax.Array, size: jax.Array, xy: jax.Array):
+  """Bilinear height (meters) at hfield-local (x, y)."""
+  nrow, ncol = hdata.shape
+  cx = jnp.clip((xy[0] / size[0] + 1.0) * 0.5 * (ncol - 1), 0.0, ncol - 1.001)
+  cy = jnp.clip((xy[1] / size[1] + 1.0) * 0.5 * (nrow - 1), 0.0, nrow - 1.001)
+  x0 = jnp.floor(cx).astype(jnp.int32)
+  y0 = jnp.floor(cy).astype(jnp.int32)
+  fx, fy = cx - x0, cy - y0
+  h00 = hdata[y0, x0]
+  h01 = hdata[y0, x0 + 1]
+  h10 = hdata[y0 + 1, x0]
+  h11 = hdata[y0 + 1, x0 + 1]
+  return ((1 - fy) * ((1 - fx) * h00 + fx * h01)
+          + fy * ((1 - fx) * h10 + fx * h11))
+
+
+def _hf_surface(hdata, size, loc):
+  """(surface point, outward normal) in hfield-local frame under `loc`."""
+  nrow, ncol = hdata.shape
+  ex = size[0] / (ncol - 1)
+  ey = size[1] / (nrow - 1)
+  xy = loc[:2]
+  h = _hf_height(hdata, size, xy)
+  gx = (_hf_height(hdata, size, xy + jnp.array([ex, 0.0]))
+        - _hf_height(hdata, size, xy - jnp.array([ex, 0.0]))) / (2 * ex)
+  gy = (_hf_height(hdata, size, xy + jnp.array([0.0, ey]))
+        - _hf_height(hdata, size, xy - jnp.array([0.0, ey]))) / (2 * ey)
+  n = jnp.array([-gx, -gy, 1.0])
+  n = n / jnp.maximum(math.norm_safe(n), _EPS)
+  return jnp.array([xy[0], xy[1], h]), n
+
+
+def _hf_point(hdata, size, p1, m1, point, radius):
+  """Contact of a sphere(point, radius) against the heightfield."""
+  loc = m1.T @ (point - p1)
+  surf_l, n_l = _hf_surface(hdata, size, loc)
+  n = m1 @ n_l
+  surf = p1 + m1 @ surf_l
+  dist = jnp.dot(n, point - surf) - radius
+  pos = point - n * (radius + 0.5 * dist)
+  return dist, pos, n
+
+
+def _hfield_sphere(hdata, size):
+  def fn(p1, m1, s1, p2, m2, s2):
+    dist, pos, n = _hf_point(hdata, size, p1, m1, p2, s2[0])
+    return dist[None], pos[None], n[None]
+  return fn
+
+
+def _hfield_capsule(hdata, size):
+  def fn(p1, m1, s1, p2, m2, s2):
+    a, b = _capsule_ends(p2, m2, s2)
+    out = [_hf_point(hdata, size, p1, m1, e, s2[0]) for e in (a, b)]
+    return (jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out]),
+            jnp.stack([o[2] for o in out]))
+  return fn
+
+
+def _hfield_box(hdata, size):
+  def fn(p1, m1, s1, p2, m2, s2):
+    corners = _box_corners(p2, m2, s2)
+    d_all = jax.vmap(
+        lambda c: _hf_point(hdata, size, p1, m1, c, 0.0)[0])(corners)
+    _, idx = jax.lax.top_k(-d_all, 4)
+    return jax.vmap(
+        lambda c: _hf_point(hdata, size, p1, m1, c, 0.0))(corners[idx])
+  return fn
+
+
+_HF_FNS = {
+    (GeomType.HFIELD, GeomType.SPHERE): _hfield_sphere,
+    (GeomType.HFIELD, GeomType.CAPSULE): _hfield_capsule,
+    (GeomType.HFIELD, GeomType.BOX): _hfield_box,
+}
+
+
 _FNS = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
@@ -294,7 +380,11 @@ def collision(m: Model, d: Data) -> Data:
   frame = jnp.zeros((ncon, 3, 3), dtype=dtype)
 
   for (t1, t2), entries in groups.items():
-    fn = _FNS[(GeomType(t1), GeomType(t2))]
+    key = (GeomType(t1), GeomType(t2))
+    if key in _HF_FNS:
+      fn = _HF_FNS[key](d.hfield_data, m.hfield_size)
+    else:
+      fn = _FNS[key]
     g1 = np.array([e[0] for e in entries])
     g2 = np.array([e[1] for e in entries])
     nslots = entries[0][3]

@@ -26,6 +26,9 @@ from myosuite_tpu.physics.types import (Contact, Data, GeomType, JointType,
 
 # Number of contact points each supported pair class can generate.
 _PAIR_NCON = {
+    (GeomType.HFIELD, GeomType.SPHERE): 1,
+    (GeomType.HFIELD, GeomType.CAPSULE): 2,
+    (GeomType.HFIELD, GeomType.BOX): 4,
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
     (GeomType.PLANE, GeomType.ELLIPSOID): 1,
@@ -115,6 +118,20 @@ def put_model(m: mujoco.MjModel) -> Model:
   pairs = _collision_pairs(m)
   ncon_max = int(pairs[:, 2].sum()) if len(pairs) else 0
 
+  # heightfield metadata (at most one supported)
+  assert m.nhfield <= 1, "at most one heightfield per model"
+  if m.nhfield == 1:
+    hf_nrow, hf_ncol = int(m.hfield_nrow[0]), int(m.hfield_ncol[0])
+    hf_size = np.asarray(m.hfield_size[0], dtype=np.float32)
+    hf_geomid = -1
+    for g in range(m.ngeom):
+      if int(m.geom_type[g]) == int(GeomType.HFIELD):
+        hf_geomid = g
+  else:
+    hf_nrow = hf_ncol = 0
+    hf_geomid = -1
+    hf_size = np.zeros(4, dtype=np.float32)
+
   opt = Option(
       timestep=float(m.opt.timestep),
       integrator=int(m.opt.integrator),
@@ -137,6 +154,7 @@ def put_model(m: mujoco.MjModel) -> Model:
       nbody=int(m.nbody), njnt=int(m.njnt), ngeom=int(m.ngeom),
       nsite=int(m.nsite), ntendon=int(m.ntendon), nwrap=int(m.nwrap),
       nmocap=int(m.nmocap), ncon_max=ncon_max,
+      hfield_nrow=hf_nrow, hfield_ncol=hf_ncol, hfield_geomid=hf_geomid,
       body_parentid=S(m.body_parentid), body_rootid=S(m.body_rootid),
       body_jntadr=S(m.body_jntadr), body_jntnum=S(m.body_jntnum),
       body_dofadr=S(m.body_dofadr), body_dofnum=S(m.body_dofnum),
@@ -204,6 +222,7 @@ def put_model(m: mujoco.MjModel) -> Model:
       actuator_acc0=f32(m.actuator_acc0),
       actuator_length0=f32(m.actuator_length0),
       actuator_lengthrange=f32(m.actuator_lengthrange),
+      hfield_size=jnp.asarray(hf_size),
       opt=opt,
   )
 
@@ -311,4 +330,5 @@ def make_data(m: Model) -> Data:
       contact=contact,
       efc_force_limit=z(m.njnt + m.ntendon),
       ncon_active=jnp.int32(0),
+      hfield_data=z(m.hfield_nrow, m.hfield_ncol),
   )

@@ -183,6 +183,12 @@ class Model:
   nwrap: int = static_field()
   nmocap: int = static_field()
   ncon_max: int = static_field()   # static contact capacity
+  # heightfield (at most one per model; terrain data itself lives in Data so
+  # per-env terrain regenerates in-graph, unlike the reference's host-side
+  # mj_model.hfield_data writes, /root/reference/myosuite/envs/heightfields.py:280)
+  hfield_nrow: int = static_field()
+  hfield_ncol: int = static_field()
+  hfield_geomid: int = static_field()   # -1 if no hfield geom
 
   # ---- topology (Static numpy) ----
   body_parentid: Static = static_field()
@@ -280,6 +286,7 @@ class Model:
   actuator_acc0: jax.Array
   actuator_length0: jax.Array
   actuator_lengthrange: jax.Array
+  hfield_size: jax.Array        # (4,) radius_x, radius_y, elev_z, base_z
   opt: Option
 
 
@@ -357,3 +364,7 @@ class Data:
   contact: Contact
   efc_force_limit: jax.Array   # (nlimit,) forces from joint/tendon limits
   ncon_active: jax.Array       # scalar int: number of active contacts
+
+  # terrain heights in meters, (hfield_nrow, hfield_ncol); (0, 0) if none.
+  # Dynamic (per-env under vmap) so terrain regenerates at in-graph resets.
+  hfield_data: jax.Array
