@@ -272,7 +272,10 @@ def finalize_muscles(xml: str, nsamples: int = 64) -> str:
     idx[0] += 1
     return tag[:-2] + f' lengthrange="{lo[i]:.6f} {hi[i]:.6f}"/>'
   out = re.sub(r"<muscle [^>]*/>", _inject, xml)
-  assert idx[0] == pm.nu, (idx[0], pm.nu)
+  # non-muscle actuators (e.g. OSL prosthetic motors) must come after all
+  # muscles so the sequential lengthrange injection stays index-aligned
+  n_muscle = len(re.findall(r"<muscle [^>]*/>", xml))
+  assert idx[0] == n_muscle <= pm.nu, (idx[0], n_muscle, pm.nu)
   return out
 
 

@@ -205,6 +205,22 @@ OBJECT_SNIPPETS = {
       <site name="object_top" pos="0.06 0 0" size="0.004"/>
     </body>
 """,
+    # tabletop object + pedestal for the MyoChallenge'23 relocate task
+    # (reference myoarm_relocate scene role, relocate_v0.py:16); the object
+    # geom's size/mass/friction are randomized per episode in-graph
+    "relocate": """
+    <body name="pedestal" pos="0.0 0.02 0.90">
+      <geom name="pedestal_geom" type="box" size="0.06 0.06 0.05"
+            contype="4" conaffinity="3" friction="1 0.005 0.0001"/>
+    </body>
+    <body name="object" pos="0.0 0.02 1.0">
+      <freejoint name="object_free"/>
+      <geom name="object_geom" type="sphere" size="0.04" mass="0.2"
+            contype="2" conaffinity="7" friction="1 0.01 0.0005"
+            solref="0.015 1" condim="3"/>
+      <site name="object_site" size="0.005"/>
+    </body>
+""",
     # spring-loaded key in front of the fingers (myohand_keyturn.xml role)
     "key": """
     <body name="key" pos="{ox} {oy} {oz}">

@@ -93,11 +93,22 @@ _BODY_TAG = {"P": "pelvis", "F": "{s}_femur", "T": "{s}_tibia",
 def build_leg(floor: bool = True, pelvis_free: bool = True,
               terrain: bool = False,
               terrain_nrow: int = 48, terrain_ncol: int = 192,
-              terrain_extent=(12.0, 3.0)) -> str:
+              terrain_extent=(12.0, 3.0),
+              terrain_center=None,
+              osl: bool = False,
+              extra_worldbody: str = "",
+              extra_actuator: str = "") -> str:
   """When terrain=True the floor plane is replaced by a heightfield geom
   (the role of the reference's in-place hfield regeneration per reset,
   /root/reference/myosuite/envs/myo/myobase/walk_v0.py:576-647); the height
-  grid itself is dynamic Data, written by the terrain env at reset."""
+  grid itself is dynamic Data, written by the terrain env at reset.
+
+  osl=True builds the transfemoral-amputee variant for the OSL RunTrack
+  task (reference myoosl model, run_track_v0.py:31): the right leg keeps
+  only its 16 hip muscles (insertion on the femur), and torque motors on
+  the prosthetic knee/ankle replace the rest — driven by the OSL FSM, not
+  the policy. extra_worldbody/extra_actuator inject scene bodies (balls,
+  goals, mocap opponents) for the challenge scenes."""
   sites = {"pelvis": [], "r_femur": [], "r_tibia": [], "r_foot": [],
            "r_toes": [], "l_femur": [], "l_tibia": [], "l_foot": [],
            "l_toes": []}
@@ -105,6 +116,8 @@ def build_leg(floor: bool = True, pelvis_free: bool = True,
 
   for s, ysign in (("r", -1.0), ("l", 1.0)):
     for mus in _leg_muscles(s):
+      if osl and s == "r" and mus["ins"][0] != "F":
+        continue  # amputated side keeps only hip muscles
       name = f"{s}_{mus['name']}"
       org_body = _BODY_TAG[mus["org"][0]].format(s=s)
       ins_body = _BODY_TAG[mus["ins"][0]].format(s=s)
@@ -178,14 +191,22 @@ def build_leg(floor: bool = True, pelvis_free: bool = True,
 </body>
 """
 
+  if osl:
+    muscles.append('<motor name="osl_knee" joint="r_knee" gear="1" '
+                   'ctrlrange="-150 150"/>')
+    muscles.append('<motor name="osl_ankle" joint="r_ankle" gear="1" '
+                   'ctrlrange="-150 150"/>')
+
   root_joint = '<freejoint name="root"/>' if pelvis_free else ""
   if terrain:
     ex, ey = terrain_extent
     asset_xml = (f'<asset><hfield name="terrain" nrow="{terrain_nrow}" '
                  f'ncol="{terrain_ncol}" size="{ex} {ey} 1.0 0.1"/></asset>')
-    # track extends forward: x spans [-2, 2*ex - 2]
+    # default: track extends forward, x spans [-2, 2*ex - 2]; a custom
+    # terrain_center recenters it (square chase-tag arenas)
+    cx, cy = ((ex - 2.0, 0.0) if terrain_center is None else terrain_center)
     floor_xml = (f'<geom name="terrain" type="hfield" hfield="terrain" '
-                 f'pos="{ex - 2.0} 0 0" contype="4" conaffinity="1" '
+                 f'pos="{cx} {cy} 0" contype="4" conaffinity="1" '
                  f'friction="1.2 0.005 0.0001" condim="3"/>')
   else:
     asset_xml = ""
@@ -216,12 +237,14 @@ def build_leg(floor: bool = True, pelvis_free: bool = True,
       {leg_xml('r', -1.0)}
       {leg_xml('l', 1.0)}
     </body>
+    {extra_worldbody}
   </worldbody>
   <tendon>
     {chr(10).join(tendons)}
   </tendon>
   <actuator>
     {chr(10).join(muscles)}
+    {extra_actuator}
   </actuator>
 </mujoco>
 """

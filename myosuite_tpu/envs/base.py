@@ -171,9 +171,19 @@ class MyoEnv(abc.ABC):
     state = state.replace(info=self._get_info(state))
     return state
 
+  def _model_for_step(self, info: Dict[str, Any]) -> Model:
+    """Hook for in-graph domain randomization: envs that randomize object
+    geometry/mass/friction per episode (reference RelocateEnvV0,
+    /root/reference/myosuite/envs/myo/myochallenge/relocate_v0.py:16, and
+    the SAR reorient suite) return self._model with fields replaced from
+    info — the perturbed model is a traced pytree, so each env in a vmap
+    batch simulates its own physics parameters with zero host round-trips."""
+    return self._model
+
   def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
     data = state.data.replace(ctrl=ctrl)
-    data = physics_forward.step_n(self._model, data, self._n_substeps)
+    data = physics_forward.step_n(self._model_for_step(state.info), data,
+                                  self._n_substeps)
     info = {**state.info, "step_count": state.info["step_count"] + 1}
     return state.replace(data=data, info=info)
 

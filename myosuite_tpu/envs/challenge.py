@@ -1,0 +1,525 @@
+"""MyoChallenge competition envs: Relocate, ChaseTag, Soccer, OSL RunTrack.
+
+MDP contracts follow SURVEY.md Appendix A:
+  * Relocate (relocate_v0.py):   pos_dist 100, rot_dist 1; object geom/
+    mass/friction randomized per episode (here: in-graph via the
+    _model_for_step domain-randomization hook).
+  * ChaseTag (chasetag_v0.py):   distance -0.1, lose -1000; sparse =
+    time-based score on win; scripted opponent (static/random/chase or
+    evade) over a patch-based arena.
+  * Soccer   (soccer_v0.py):     goal_scored 1000, time_cost -0.01,
+    act_reg -100, pain -10; scripted GoalKeeper.
+  * RunTrack (run_track_v0.py):  sparse 1, solved +10; 56-muscle amputee
+    leg; prosthetic knee/ankle driven by the OSL FSM internally — the
+    controller's actions are appended inside step and NOT exposed in the
+    action space (run_track_v0.py:265-275, _append_osl_actions:871).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from myosuite_tpu.envs import heightfields, opponents, osl
+from myosuite_tpu.envs.base import MyoEnv, State
+from myosuite_tpu.envs.locomotion import WalkEnv
+from myosuite_tpu.physics import math as pmath
+from myosuite_tpu.physics.types import Data
+
+
+def contact_slot_mask(model, geom_ids) -> jnp.ndarray:
+  """(ncon_max,) 1.0 where the contact slot involves any of geom_ids.
+
+  Static: slot->geom assignment is fixed at build time (io.make_data's
+  pair-table expansion), so GRF extraction is one masked dot product."""
+  ids = set(int(g) for g in geom_ids)
+  mask = []
+  for p in np.asarray(model.collision_pairs.arr):
+    hit = 1.0 if (int(p[0]) in ids or int(p[1]) in ids) else 0.0
+    mask.extend([hit] * int(p[2]))
+  return jnp.asarray(np.array(mask, dtype=np.float32))
+
+
+def _geom_ids(mj_model, names):
+  out = []
+  for n in names:
+    gid = mujoco.mj_name2id(mj_model, mujoco.mjtObj.mjOBJ_GEOM.value, n)
+    assert gid >= 0, n
+    out.append(gid)
+  return out
+
+
+class _LegChallengeEnv(WalkEnv):
+  """Shared plumbing for leg-based challenge tasks: GRF observations and
+  the reference's internal_qpos/qvel + muscle-state obs block
+  (chasetag_v0.py:441-459, run_track_v0.py:33-49)."""
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    self._body_weight = float(np.sum(mj.body_mass)) * 9.81
+    r_feet = ["r_heel_geom", "r_foot_geom", "r_toes_geom"]
+    l_feet = ["l_heel_geom", "l_foot_geom", "l_toes_geom"]
+    self._grf_mask_r = contact_slot_mask(self._model, _geom_ids(mj, r_feet))
+    self._grf_mask_l = contact_slot_mask(self._model, _geom_ids(mj, l_feet))
+
+  def _grf(self, data: Data) -> jax.Array:
+    """(2,) right/left vertical ground reaction force / body weight."""
+    r = jnp.dot(self._grf_mask_r, data.contact_force)
+    l = jnp.dot(self._grf_mask_l, data.contact_force)
+    return jnp.stack([r, l]) / self._body_weight
+
+  def _body_obs(self, data: Data) -> jax.Array:
+    dt = self._config.sim_dt
+    return jnp.concatenate([
+        data.qpos[2:],                       # internal_qpos (no world xy)
+        data.qvel * dt,                      # internal_qvel
+        self._grf(data),                     # grf
+        self._torso_angle(data),             # torso_angle
+        data.qpos[0:3],                      # model_root_pos
+        data.qvel[0:3],                      # model_root_vel
+        data.ten_length,                     # muscle_length
+        data.ten_velocity * dt,              # muscle_velocity
+        data.actuator_force * 1e-3,          # muscle_force
+        data.act,
+    ])
+
+
+class ChaseTagEnv(_LegChallengeEnv):
+  """Chase (or evade) a scripted opponent over a patch-terrain arena
+  (MyoChallenge'23 ChaseTagEnvV0, chasetag_v0.py:439)."""
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    gid = int(self._model.hfield_geomid)
+    assert gid >= 0, "ChaseTagEnv needs an hfield arena"
+    self._hf_base = tuple(np.asarray(mj.geom_pos[gid][:2], dtype=float))
+    sz = np.asarray(mj.hfield_size[0], dtype=float)
+    self._hf_extent = (2.0 * sz[0], 2.0 * sz[1])
+    self._hf_shape = (self._model.hfield_nrow, self._model.hfield_ncol)
+
+  @property
+  def _role_mode(self):
+    return (opponents.EVADE
+            if self._config.get("agent_role", "chase") == "chase"
+            else opponents.CHASE)
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1, r2, r3 = jax.random.split(rng, 4)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    # random spawn inside the arena
+    xy = jax.random.uniform(r1, (2,), minval=-self._config.arena_half * 0.6,
+                            maxval=self._config.arena_half * 0.6)
+    qpos = qpos.at[0:2].set(xy)
+    qvel = jnp.zeros(m.nv)
+    opp = opponents.reset_opponent(
+        r2, horizon=self.max_episode_steps,
+        arena_half=self._config.arena_half, mode=self._role_mode)
+    hfield = heightfields.chasetag_arena(r3, self._hf_shape)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0), "opponent": opp}
+    data = self._make_data(qpos, qvel, hfield=hfield)
+    data = self._place_opponent(data, opp)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    metrics = {"solved": zero, "win": zero, "score": zero}
+    return State(data, obs, zero, zero, metrics, info)
+
+  def _place_opponent(self, data: Data, opp) -> Data:
+    if self._model.nmocap < 1:
+      return data
+    pos = jnp.concatenate([opp.pose[:2], jnp.float32(0.5)[None]])
+    half = jnp.cos(opp.pose[2] / 2)
+    quat = jnp.stack([half, 0.0 * half, 0.0 * half, jnp.sin(opp.pose[2] / 2)])
+    return data.replace(mocap_pos=data.mocap_pos.at[0].set(pos),
+                        mocap_quat=data.mocap_quat.at[0].set(quat))
+
+  def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
+    state = super()._step_simulation(state, ctrl)
+    opp = opponents.step_opponent(
+        state.info["opponent"], state.data.qpos[0:2], self.dt,
+        arena_half=self._config.arena_half)
+    data = self._place_opponent(state.data, opp)
+    return state.replace(data=data,
+                         info={**state.info, "opponent": opp})
+
+  def _opp_dist(self, data: Data, info) -> jax.Array:
+    return jnp.linalg.norm(info["opponent"].pose[:2] - data.qpos[0:2])
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    opp = info["opponent"]
+    hmap = heightfields.egocentric_heightmap(
+        data.hfield_data, data.qpos[0:2], self._root_yaw(data),
+        self._hf_extent, base=self._hf_base)
+    return {"state": jnp.concatenate([
+        self._body_obs(data),
+        opp.pose,                            # opponent_pose
+        opp.vel,                             # opponent_vel
+        (hmap - data.qpos[2]).ravel(),
+    ])}
+
+  def _root_yaw(self, data: Data) -> jax.Array:
+    q = data.qpos[3:7]
+    return jnp.arctan2(2 * (q[0] * q[3] + q[1] * q[2]),
+                       1 - 2 * (q[2] ** 2 + q[3] ** 2))
+
+  def _out_of_bounds(self, data: Data) -> jax.Array:
+    half = self._config.arena_half
+    return (jnp.abs(data.qpos[0]) > half) | (jnp.abs(data.qpos[1]) > half)
+
+  def _lose(self, data: Data) -> jax.Array:
+    return jnp.float32(self._fallen(data) | self._out_of_bounds(data))
+
+  def _win(self, state: State) -> jax.Array:
+    dist = self._opp_dist(state.data, state.info)
+    caught = dist < self._config.tag_radius
+    if self._config.get("agent_role", "chase") == "chase":
+      return jnp.float32(caught)
+    # evader wins by surviving to the horizon
+    return jnp.float32(
+        (state.info["step_count"] >= self.max_episode_steps)
+        & (self._lose(state.data) == 0.0))
+
+  def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
+    return {"distance": self._opp_dist(data, info),
+            "lose": -self._lose(data),
+            "act_reg": -jnp.mean(jnp.square(data.act))}
+
+  def _get_done(self, state: State) -> jax.Array:
+    return jnp.maximum(self._lose(state.data), self._win(state))
+
+  def _get_metrics(self, state, rewards):
+    win = self._win(state)
+    # time-based score on win (chasetag_v0.py:627-683: earlier tag ->
+    # higher score)
+    frac = state.info["step_count"].astype(jnp.float32) / self.max_episode_steps
+    return {"solved": win, "win": win,
+            "score": win * jnp.maximum(1.0 - frac, 0.0)}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, r1, r2 = jax.random.split(state.info["rng"], 3)
+    new_opp = opponents.reset_opponent(
+        r1, horizon=self.max_episode_steps,
+        arena_half=self._config.arena_half, mode=self._role_mode)
+    opp = jax.tree.map(
+        lambda new, old: jnp.where(boundary, new, old),
+        new_opp, state.info["opponent"])
+    return {**state.info, "rng": rng, "truncation": truncation,
+            "opponent": opp,
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}
+
+
+class SoccerEnv(_LegChallengeEnv):
+  """Kick a ball past a scripted goalkeeper (MyoChallenge'25 SoccerEnvV0,
+  soccer_v0.py:204-223 contract)."""
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    j = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, "ball_free")
+    self._ball_qadr = int(mj.jnt_qposadr[j])
+    self._ball_dadr = int(mj.jnt_dofadr[j])
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1, r2 = jax.random.split(rng, 3)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    # randomize ball position in front of the agent
+    dxy = jax.random.uniform(r1, (2,), minval=-0.2, maxval=0.2)
+    qpos = qpos.at[self._ball_qadr:self._ball_qadr + 2].add(dxy)
+    qvel = jnp.zeros(m.nv)
+    keeper = opponents.reset_keeper(r2, horizon=self.max_episode_steps)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0), "keeper": keeper,
+            "scored": jnp.float32(0.0)}
+    data = self._make_data(qpos, qvel)
+    data = self._place_keeper(data, keeper)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    return State(data, obs, zero, zero,
+                 {"solved": zero, "score": zero}, info)
+
+  def _place_keeper(self, data: Data, keeper) -> Data:
+    if self._model.nmocap < 1:
+      return data
+    gx = self._config.goal_x
+    pos = jnp.stack([jnp.float32(gx - 0.3), keeper.pose[0],
+                     jnp.float32(0.9)])
+    return data.replace(mocap_pos=data.mocap_pos.at[0].set(pos))
+
+  def _ball_xy(self, data: Data) -> jax.Array:
+    return data.qpos[self._ball_qadr:self._ball_qadr + 2]
+
+  def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
+    state = super()._step_simulation(state, ctrl)
+    keeper = opponents.step_keeper(
+        state.info["keeper"], self._ball_xy(state.data), self.dt,
+        goal_half_width=self._config.goal_half_width)
+    data = self._place_keeper(state.data, keeper)
+    # sticky goal flag: once scored, stays scored for the episode
+    scored = jnp.maximum(state.info["scored"], self._goal_scored(data,
+                                                                 keeper))
+    return state.replace(
+        data=data, info={**state.info, "keeper": keeper, "scored": scored})
+
+  def _goal_scored(self, data: Data, keeper) -> jax.Array:
+    cfg = self._config
+    bx, by = self._ball_xy(data)[0], self._ball_xy(data)[1]
+    in_goal_y = jnp.abs(by) < cfg.goal_half_width
+    past_line = bx > cfg.goal_x
+    # keeper blocks a ball entering within its reach
+    blocked = jnp.abs(by - keeper.pose[0]) < cfg.keeper_reach
+    return jnp.float32(past_line & in_goal_y & (~blocked))
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    dt = self._config.sim_dt
+    ball = data.qpos[self._ball_qadr:self._ball_qadr + 3]
+    ball_vel = data.qvel[self._ball_dadr:self._ball_dadr + 3]
+    return {"state": jnp.concatenate([
+        self._body_obs(data), ball, ball_vel * dt,
+        info["keeper"].pose,
+    ])}
+
+  def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
+    pain = self._fallen(data)
+    return {
+        "goal_scored": info["scored"],
+        "time_cost": -jnp.float32(1.0),
+        "act_reg": -jnp.mean(jnp.square(data.act)),
+        "pain": -pain,
+        # shaping: agent->ball and ball->goal progress
+        "ball_dist": -jnp.linalg.norm(self._ball_xy(data) - data.qpos[0:2]),
+        "goal_dist": -jnp.linalg.norm(
+            self._ball_xy(data)
+            - jnp.array([self._config.goal_x, 0.0])),
+    }
+
+  def _get_done(self, state: State) -> jax.Array:
+    return jnp.maximum(jnp.float32(self._fallen(state.data)),
+                       state.info["scored"])
+
+  def _get_metrics(self, state, rewards):
+    return {"solved": state.info["scored"], "score": state.info["scored"]}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, r1 = jax.random.split(state.info["rng"])
+    new_keeper = opponents.reset_keeper(r1, horizon=self.max_episode_steps)
+    keeper = jax.tree.map(
+        lambda new, old: jnp.where(boundary, new, old),
+        new_keeper, state.info["keeper"])
+    scored = jnp.where(boundary, 0.0, state.info["scored"])
+    return {**state.info, "rng": rng, "truncation": truncation,
+            "keeper": keeper, "scored": scored,
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}
+
+
+class RunTrackEnv(_LegChallengeEnv):
+  """Run down a track on a 56-muscle amputee leg with an OSL prosthetic
+  (MyoChallenge'24 RunTrack, run_track_v0.py:31). The OSL FSM drives the
+  prosthetic knee/ankle motors internally at control rate; the policy only
+  commands the remaining muscles."""
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    def jadr(name):
+      j = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, name)
+      return int(mj.jnt_qposadr[j]), int(mj.jnt_dofadr[j])
+    self._knee_q, self._knee_d = jadr("r_knee")
+    self._ankle_q, self._ankle_d = jadr("r_ankle")
+    self._osl_params = osl.make_osl_params(float(np.sum(mj.body_mass)))
+    # last two actuators are the prosthetic motors (build_leg osl=True)
+    names = [mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_ACTUATOR.value, i)
+             for i in range(mj.nu)]
+    assert names[-2:] == ["osl_knee", "osl_ankle"], names[-2:]
+
+  @property
+  def action_size(self) -> int:
+    # OSL actions are appended internally, not exposed
+    # (run_track_v0.py:265-275)
+    return self._model.nu - 2
+
+  def step(self, state: State, action: jax.Array) -> State:
+    muscles = self.norm_actions(action)
+    d = state.data
+    load = self._grf(d)[0]   # prosthetic (right) side load
+    phase, knee_tau, ankle_tau = osl.osl_step(
+        state.info["osl_phase"], self._osl_params,
+        d.qpos[self._knee_q], d.qvel[self._knee_d],
+        d.qpos[self._ankle_q], d.qvel[self._ankle_d], load)
+    ctrl = jnp.concatenate([muscles, knee_tau[None], ankle_tau[None]])
+    state = state.replace(info={**state.info, "osl_phase": phase})
+    return self.step_ctrl(state, ctrl)
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1 = jax.random.split(rng)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    if self._config.get("reset_type", "init") == "random":
+      noise = jax.random.uniform(r1, (m.nq,), minval=-0.02, maxval=0.02)
+      qpos = qpos + noise.at[:7].set(0.0)
+    qvel = jnp.zeros(m.nv)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0),
+            "osl_phase": jnp.int32(osl.E_STANCE)}
+    data = self._make_data(qpos, qvel)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    return State(data, obs, zero, zero,
+                 {"solved": zero, "distance": zero}, info)
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    return {"state": self._body_obs(data)}
+
+  def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
+    vel = data.qvel[0]
+    # sparse forward-progress band (run_track_v0.py:315-353: sparse 1 while
+    # moving down the track upright)
+    upright = 1.0 - self._fallen(data)
+    sparse = jnp.float32(vel > self._config.min_velocity) * upright
+    pain = self._fallen(data)
+    return {"sparse": sparse,
+            "solved": jnp.float32(
+                data.qpos[0] > self._config.finish_x) * upright,
+            "act_reg": -jnp.mean(jnp.square(data.act)),
+            "pain": -pain,
+            "vel_reward": jnp.exp(
+                -jnp.square(vel - self._config.target_velocity) / 0.16)}
+
+  def _get_done(self, state: State) -> jax.Array:
+    finished = state.data.qpos[0] > self._config.finish_x
+    return jnp.maximum(self._fallen(state.data), jnp.float32(finished))
+
+  def _get_metrics(self, state, rewards):
+    return {"solved": rewards["solved"],
+            "distance": state.data.qpos[0]}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, _ = jax.random.split(state.info["rng"])
+    phase = jnp.where(boundary, jnp.int32(osl.E_STANCE),
+                      state.info["osl_phase"])
+    return {**state.info, "rng": rng, "truncation": truncation,
+            "osl_phase": phase,
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}
+
+
+class RelocateEnv(MyoEnv):
+  """Lift an object from a pedestal to an in-air goal (MyoChallenge'23
+  RelocateEnvV0, relocate_v0.py:16-31 contract) on the full myoArm.
+
+  Per-episode object randomization (geom size / mass / friction,
+  relocate_v0.py object randomization) runs in-graph through the
+  _model_for_step hook: every env in the batch simulates its own physics
+  parameters."""
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+    self._obj_site = mujoco.mj_name2id(
+        mj, mujoco.mjtObj.mjOBJ_SITE.value, "object_site")
+    self._obj_geom = mujoco.mj_name2id(
+        mj, mujoco.mjtObj.mjOBJ_GEOM.value, "object_geom")
+    self._obj_body = int(mj.geom_bodyid[self._obj_geom])
+    j = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, "object_free")
+    self._obj_qadr = int(mj.jnt_qposadr[j])
+    self._obj_dadr = int(mj.jnt_dofadr[j])
+
+  def _make_xml(self) -> str:
+    return self._config.model_xml
+
+  def _model_for_step(self, info):
+    m = self._model
+    s = info["obj_scale"]
+    mass = info["obj_mass_scale"]
+    fr = info["obj_friction_scale"]
+    return m.replace(
+        geom_size=m.geom_size.at[self._obj_geom].multiply(s),
+        geom_friction=m.geom_friction.at[self._obj_geom, 0].multiply(fr),
+        body_mass=m.body_mass.at[self._obj_body].multiply(mass),
+        body_inertia=m.body_inertia.at[self._obj_body].multiply(
+            mass * s * s))
+
+  def _sample_randomization(self, rng):
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    cfg = self._config
+    lo, hi = cfg.obj_scale_range
+    goal = (jnp.asarray(cfg.goal_center, dtype=jnp.float32)
+            + jax.random.uniform(r4, (3,),
+                                 minval=-jnp.asarray(cfg.goal_span),
+                                 maxval=jnp.asarray(cfg.goal_span)))
+    return {
+        "obj_scale": jax.random.uniform(r1, minval=lo, maxval=hi),
+        "obj_mass_scale": jax.random.uniform(r2, minval=0.5, maxval=1.5),
+        "obj_friction_scale": jax.random.uniform(r3, minval=0.7, maxval=1.3),
+        "goal_pos": goal,
+    }
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1 = jax.random.split(rng)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    qvel = jnp.zeros(m.nv)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0),
+            **self._sample_randomization(r1)}
+    data = self._make_data(qpos, qvel)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    return State(data, obs, zero, zero, {"solved": zero}, info)
+
+  def _pos_err(self, data, info):
+    return info["goal_pos"] - data.site_xpos[self._obj_site]
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    dt = self._config.sim_dt
+    obj_q = data.qpos[self._obj_qadr:self._obj_qadr + 7]
+    return {"state": jnp.concatenate([
+        data.qpos[:self._obj_qadr],                 # hand_qpos
+        data.qvel[:self._obj_dadr] * dt,            # hand_qvel
+        data.act,
+        obj_q[:3], obj_q[3:],                       # obj_pos, obj_rot
+        info["goal_pos"],                           # goal_pos
+        self._pos_err(data, info),                  # pos_err
+        jnp.stack([info["obj_scale"], info["obj_mass_scale"],
+                   info["obj_friction_scale"]]),
+    ])}
+
+  def _get_rewards(self, data, info):
+    dist = jnp.linalg.norm(self._pos_err(data, info))
+    lifted = data.site_xpos[self._obj_site][2] > self._config.lift_th
+    return {"pos_dist": -dist,
+            "lift_bonus": 1.0 * lifted,
+            "bonus": 1.0 * (dist < 0.1) + 1.0 * (dist < 0.05),
+            "act_reg": -jnp.mean(jnp.square(data.act))}
+
+  def _get_done(self, state):
+    # dropped off the workspace
+    return jnp.float32(
+        state.data.site_xpos[self._obj_site][2] < self._config.drop_th)
+
+  def _get_metrics(self, state, rewards):
+    dist = jnp.linalg.norm(self._pos_err(state.data, state.info))
+    return {"solved": jnp.float32(dist < 0.05)}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, r1 = jax.random.split(state.info["rng"])
+    fresh = self._sample_randomization(r1)
+    info = {**state.info, "rng": rng, "truncation": truncation,
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}
+    for k, v in fresh.items():
+      info[k] = jnp.where(boundary, v, state.info[k])
+    return info

@@ -74,6 +74,34 @@ def generate(rng: jax.Array, terrain_type: jax.Array,
       rng)
 
 
+def chasetag_arena(rng: jax.Array, shape: Tuple[int, int],
+                   patches: int = 2) -> jax.Array:
+  """Patch-based chase-tag arena: a patches x patches grid where every
+  patch is independently FLAT / ROUGH / HILLY (reference ChaseTagField
+  _populate_patches, /root/reference/myosuite/envs/heightfields.py:244-260;
+  the RELIEF logo patch is decorative and not reproduced).
+
+  Runs in-graph: all three generators are evaluated per patch and
+  select()-ed by the sampled code — fixed shapes, no host round-trip."""
+  h, w = shape
+  ph, pw = h // patches, w // patches
+  rngs = jax.random.split(rng, patches * patches * 2)
+  rows = []
+  k = 0
+  for i in range(patches):
+    cols = []
+    for j in range(patches):
+      code = jax.random.randint(rngs[k], (), 0, 3)
+      tile = generate(rngs[k + 1], code, (ph, pw))
+      cols.append(tile)
+      k += 2
+    rows.append(jnp.concatenate(cols, axis=1))
+  arena = jnp.concatenate(rows, axis=0)
+  # pad to the exact grid if patches don't divide evenly
+  return jnp.pad(arena, ((0, h - patches * ph), (0, w - patches * pw)),
+                 mode="edge")
+
+
 def sample_height(hfield: jax.Array, xy: jax.Array,
                   extent: Tuple[float, float],
                   base: Tuple[float, float] = (0.0, 0.0)) -> jax.Array:
@@ -84,10 +112,10 @@ def sample_height(hfield: jax.Array, xy: jax.Array,
   h, w = hfield.shape
   u = (xy[0] - base[0]) / extent[0] + 0.5   # [0, 1] across columns
   v = (xy[1] - base[1]) / extent[1] + 0.5   # [0, 1] across rows
-  cx = jnp.clip(u * (w - 1), 0.0, w - 1.001)
-  cy = jnp.clip(v * (h - 1), 0.0, h - 1.001)
-  x0 = jnp.floor(cx).astype(jnp.int32)
-  y0 = jnp.floor(cy).astype(jnp.int32)
+  cx = jnp.clip(u * (w - 1), 0.0, float(w - 1))
+  cy = jnp.clip(v * (h - 1), 0.0, float(h - 1))
+  x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, w - 2)
+  y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h - 2)
   fx = cx - x0
   fy = cy - y0
   h00 = hfield[y0, x0]

@@ -509,6 +509,103 @@ def _register_all():
       "MtxArmPoseRandom-v0", functools.partial(arm_pose),
       aliases=("myoArmPoseRandom-v0",))
 
+  # ---- MyoChallenge suite: Relocate / ChaseTag / Soccer / RunTrack ----
+  from myosuite_tpu.envs.challenge import (ChaseTagEnv, RelocateEnv,
+                                           RunTrackEnv, SoccerEnv)
+
+  _OPPONENT_BODY = """
+    <body name="opponent" mocap="true" pos="2 2 0.5">
+      <geom name="opponent_geom" type="cylinder" size="0.18 0.5"
+            contype="0" conaffinity="0" mass="1"/>
+    </body>"""
+
+  def chasetag(overrides=None, role="chase"):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(leg_mod.build_leg(
+            terrain=True, terrain_nrow=64, terrain_ncol=64,
+            terrain_extent=(6.0, 6.0), terrain_center=(0.0, 0.0),
+            extra_worldbody=_OPPONENT_BODY)),
+        max_episode_steps=1000, arena_half=6.0, tag_radius=0.35,
+        min_height=0.7, max_rot=0.8, gait_period=1.0, hip_amplitude=0.4,
+        target_velocity=1.2, stand_height=0.96, reset_type="init",
+        agent_role=role,
+        reward_weights=config_dict.create(
+            distance=-0.1, lose=1000.0, act_reg=1.0),
+    ))
+    return ChaseTagEnv(cfg, overrides)
+
+  register("MtxChaseTag-v0", functools.partial(chasetag),
+           aliases=("myoChallengeChaseTagP1-v0",))
+  register("MtxChaseTagEvade-v0", functools.partial(chasetag, role="evade"),
+           aliases=("myoChallengeChaseTagP2-v0",))
+
+  _SOCCER_SCENE = """
+    <body name="ball" pos="0.6 0 0.12">
+      <freejoint name="ball_free"/>
+      <geom name="ball_geom" type="sphere" size="0.11" mass="0.43"
+            contype="2" conaffinity="7" friction="0.8 0.01 0.0005"
+            solref="0.02 1" condim="3"/>
+      <site name="ball_site" size="0.01"/>
+    </body>
+    <geom name="post_l" type="capsule" fromto="5 -1.22 0 5 -1.22 1.2"
+          size="0.05" contype="4" conaffinity="3"/>
+    <geom name="post_r" type="capsule" fromto="5 1.22 0 5 1.22 1.2"
+          size="0.05" contype="4" conaffinity="3"/>
+    <body name="keeper" mocap="true" pos="4.7 0 0.9">
+      <geom name="keeper_geom" type="cylinder" size="0.18 0.9"
+            contype="0" conaffinity="0" mass="1"/>
+    </body>"""
+
+  def soccer(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(leg_mod.build_leg(
+            extra_worldbody=_SOCCER_SCENE)),
+        max_episode_steps=1000, goal_x=5.0, goal_half_width=1.22,
+        keeper_reach=0.3, min_height=0.7, max_rot=0.8, gait_period=1.0,
+        hip_amplitude=0.4, target_velocity=1.2, stand_height=0.96,
+        reset_type="init",
+        reward_weights=config_dict.create(
+            goal_scored=1000.0, time_cost=0.01, act_reg=100.0, pain=10.0,
+            ball_dist=1.0, goal_dist=1.0),
+    ))
+    return SoccerEnv(cfg, overrides)
+
+  register("MtxSoccer-v0", soccer, aliases=("myoChallengeSoccerP1-v0",))
+
+  def runtrack(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(leg_mod.build_leg(osl=True)),
+        max_episode_steps=2000, min_velocity=0.3, target_velocity=1.2,
+        finish_x=20.0, min_height=0.7, max_rot=0.8, gait_period=1.0,
+        hip_amplitude=0.4, stand_height=0.96, reset_type="init",
+        reward_weights=config_dict.create(
+            sparse=1.0, solved=10.0, act_reg=1.0, pain=10.0,
+            vel_reward=2.0),
+    ))
+    return RunTrackEnv(cfg, overrides)
+
+  register("MtxRunTrack-v0", runtrack,
+           aliases=("myoChallengeRunTrackP1-v0", "myoChallengeOslRunFixed-v0"))
+
+  def relocate(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(
+            hand_mod.build_hand(arm=True, obj="relocate")),
+        max_episode_steps=150,
+        goal_center=(0.2, 0.1, 1.3), goal_span=(0.1, 0.1, 0.1),
+        obj_scale_range=(0.7, 1.2), lift_th=1.05, drop_th=0.6,
+        reward_weights=config_dict.create(
+            pos_dist=100.0, lift_bonus=4.0, bonus=4.0, act_reg=1.0),
+    ))
+    return RelocateEnv(cfg, overrides)
+
+  register("MtxRelocate-v0", relocate,
+           aliases=("myoChallengeRelocateP1-v0",))
+
   # reafferentation (tendon transfer EIP -> EPL), reference base_v0.py:104-108
   act_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_ACTUATOR.value, i)
                for i in range(hand_mj.nu)]

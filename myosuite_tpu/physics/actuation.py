@@ -30,7 +30,7 @@ _TRN_PLANS = {}
 
 def _trn_plan(m: Model):
   """Static transmission tables: one-hot joint maps + tendon gathers."""
-  key = id(m)
+  key = id(m.collision_pairs)  # stable across replace()-randomized Models
   if key in _TRN_PLANS:
     return _TRN_PLANS[key]
   gear = np.asarray(jax.device_get(m.actuator_gear))

@@ -307,7 +307,10 @@ def _col_plan(m: Model):
   so they are combined ON THE HOST (mj_contactParam semantics) and baked
   as constants.
   """
-  key = id(m)
+  # key on the static pair table, not the Model object: envs doing in-graph
+  # domain randomization pass step-time Models whose dynamic arrays are
+  # tracers, but replace() shares the same Static collision_pairs object
+  key = id(m.collision_pairs)
   if key in _COL_PLANS:
     return _COL_PLANS[key]
 
@@ -345,12 +348,8 @@ def _col_plan(m: Model):
     else:
       solref = mix * sr1 + (1 - mix) * sr2
     solimp = mix * geom_solimp[g1] + (1 - mix) * geom_solimp[g2]
-    fr = np.maximum(geom_friction[g1], geom_friction[g2])
-    friction = np.array([fr[0], fr[0], fr[1], fr[2], fr[2]])
-    margin = max(geom_margin[g1], geom_margin[g2])
-    gap = max(geom_gap[g1], geom_gap[g2])
     for _ in range(nslots):
-      slot_meta.append((solref, solimp, friction, margin - gap))
+      slot_meta.append((solref, solimp, g1, g2))
     slot += nslots
 
   ncon = slot
@@ -359,9 +358,10 @@ def _col_plan(m: Model):
       .reshape(ncon, 2),
       solimp=np.array([x[1] for x in slot_meta], dtype=np.float32)
       .reshape(ncon, 5),
-      friction=np.array([x[2] for x in slot_meta], dtype=np.float32)
-      .reshape(ncon, 5),
-      includemargin=np.array([x[3] for x in slot_meta], dtype=np.float32),
+      # friction/margin are gathered from the (possibly randomized) Model
+      # at trace time — see collision(); only the slot->geom map is baked
+      slot_g1=np.array([x[2] for x in slot_meta], dtype=np.int32),
+      slot_g2=np.array([x[3] for x in slot_meta], dtype=np.int32),
   )
   plan = (groups, meta, ncon)
   _COL_PLANS[key] = plan
@@ -398,10 +398,18 @@ def collision(m: Model, d: Data) -> Data:
     pos = pos.at[slots].set(pp.reshape(-1, 3))
     frame = frame.at[slots].set(ff.reshape(-1, 3, 3))
 
+  # dynamic contact params: sliding/torsional/rolling friction and margin
+  # follow the Model arrays, so per-episode randomization flows through
+  sg1, sg2 = jnp.asarray(meta["slot_g1"]), jnp.asarray(meta["slot_g2"])
+  fr = jnp.maximum(m.geom_friction[sg1], m.geom_friction[sg2])  # (ncon, 3)
+  friction = jnp.stack([fr[:, 0], fr[:, 0], fr[:, 1], fr[:, 2], fr[:, 2]],
+                       axis=1)
+  margin = jnp.maximum(m.geom_margin[sg1], m.geom_margin[sg2])
+  gap = jnp.maximum(m.geom_gap[sg1], m.geom_gap[sg2])
   contact = Contact(
       dist=dist, pos=pos, frame=frame,
-      includemargin=jnp.asarray(meta["includemargin"]),
-      friction=jnp.asarray(meta["friction"]),
+      includemargin=margin - gap,
+      friction=friction,
       solref=jnp.asarray(meta["solref"]),
       solimp=jnp.asarray(meta["solimp"]),
       geom1=d.contact.geom1, geom2=d.contact.geom2, dim=d.contact.dim,

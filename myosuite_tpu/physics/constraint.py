@@ -71,6 +71,7 @@ class _EfcPlan(NamedTuple):
   lim_vadr: np.ndarray
   lim_ten: np.ndarray       # limited tendons
   con_groups: tuple         # ((condim, slot_idx array), ...)
+  con_slots: np.ndarray     # (nefc,) contact slot per row, -1 for non-contact
   nefc: int
   n_fr: int
   n_jlim: int
@@ -81,7 +82,9 @@ _EFC_PLANS = {}
 
 
 def _efc_plan(m: Model) -> _EfcPlan:
-  key = id(m)
+  # keyed on the static pair table (shared across replace()-randomized
+  # Models, stable for the env's lifetime) — see collision._col_plan
+  key = id(m.collision_pairs)
   if key in _EFC_PLANS:
     return _EFC_PLANS[key]
   floss = np.asarray(jax.device_get(m.dof_frictionloss))
@@ -114,9 +117,17 @@ def _efc_plan(m: Model) -> _EfcPlan:
   n_tlim = len(lim_ten)
   n_con_rows = sum((1 if c == 1 else 2 * (c - 1)) * len(idx)
                    for c, idx in con_groups)
+  # row -> contact-slot map, mirroring make_efc's row emission order
+  # (pyramidal rows of one contact sum to its total normal force)
+  slot_chunks = [-np.ones(n_fr + n_jlim + n_tlim, dtype=np.int32)]
+  for c, idx in con_groups:
+    nrep = 1 if c == 1 else 2 * (c - 1)
+    slot_chunks.append(np.tile(idx, nrep).astype(np.int32))
+  con_slots = np.concatenate(slot_chunks) if slot_chunks else np.zeros(
+      0, dtype=np.int32)
   plan = _EfcPlan(fr_dof=fr_dof, fr_jnt=fr_jnt, lim_jnt=lim_jnt,
                   lim_qadr=lim_qadr, lim_vadr=lim_vadr, lim_ten=lim_ten,
-                  con_groups=tuple(con_groups),
+                  con_groups=tuple(con_groups), con_slots=con_slots,
                   nefc=n_fr + n_jlim + n_tlim + n_con_rows,
                   n_fr=n_fr, n_jlim=n_jlim, n_tlim=n_tlim)
   _EFC_PLANS[key] = plan

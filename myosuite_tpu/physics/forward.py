@@ -70,8 +70,19 @@ def xfrc_projection(m: Model, d: Data) -> jax.Array:
 
 def fwd_constraint(m: Model, d: Data) -> Data:
   efc = constraint.make_efc(m, d)
-  qacc, qfrc_constraint = solver.solve(m, d, efc)
-  return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)
+  qacc, qfrc_constraint, efc_force = solver.solve(m, d, efc)
+  # per-contact normal force (pyramidal edge forces of one contact sum to
+  # its normal component) — feeds GRF observations and the OSL load input
+  if m.ncon_max and efc_force.shape[0]:
+    slots = constraint._efc_plan(m).con_slots
+    con_rows = np.nonzero(slots >= 0)[0]
+    contact_force = jax.ops.segment_sum(
+        efc_force[jnp.asarray(con_rows)],
+        jnp.asarray(slots[con_rows]), num_segments=m.ncon_max)
+  else:
+    contact_force = d.contact_force
+  return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint,
+                   contact_force=contact_force)
 
 
 def forward(m: Model, d: Data) -> Data:

@@ -330,5 +330,6 @@ def make_data(m: Model) -> Data:
       contact=contact,
       efc_force_limit=z(m.njnt + m.ntendon),
       ncon_active=jnp.int32(0),
+      contact_force=z(ncon),
       hfield_data=z(m.hfield_nrow, m.hfield_ncol),
   )

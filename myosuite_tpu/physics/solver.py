@@ -53,10 +53,12 @@ def _cost(efc: Efc, jar: jax.Array) -> jax.Array:
   return jnp.sum(jnp.where(efc.is_friction, fr_cost, lim_cost))
 
 
-def solve(m: Model, d: Data, efc: Efc) -> Tuple[jax.Array, jax.Array]:
-  """Returns (qacc, qfrc_constraint)."""
+def solve(m: Model, d: Data,
+          efc: Efc) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Returns (qacc, qfrc_constraint, efc_force)."""
   if efc.J.shape[0] == 0:
-    return d.qacc_smooth, jnp.zeros(m.nv, dtype=d.qpos.dtype)
+    return (d.qacc_smooth, jnp.zeros(m.nv, dtype=d.qpos.dtype),
+            jnp.zeros(0, dtype=d.qpos.dtype))
 
   a_smooth = d.qacc_smooth
 
@@ -104,4 +106,4 @@ def solve(m: Model, d: Data, efc: Efc) -> Tuple[jax.Array, jax.Array]:
   jar = math.mm(efc.J, a) - efc.aref
   force, _ = _forces(efc, jar)
   qfrc_constraint = math.mm(efc.J.T, force)
-  return a, qfrc_constraint
+  return a, qfrc_constraint, force

@@ -60,7 +60,7 @@ _PLANS = {}
 
 
 def _plan(m: Model) -> _Plan:
-  key = id(m)
+  key = id(m.collision_pairs)  # stable across replace()-randomized Models
   if key in _PLANS:
     return _PLANS[key]
 

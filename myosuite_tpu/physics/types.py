@@ -364,6 +364,7 @@ class Data:
   contact: Contact
   efc_force_limit: jax.Array   # (nlimit,) forces from joint/tendon limits
   ncon_active: jax.Array       # scalar int: number of active contacts
+  contact_force: jax.Array     # (ncon_max,) normal force per contact slot
 
   # terrain heights in meters, (hfield_nrow, hfield_ncol); (0, 0) if none.
   # Dynamic (per-env under vmap) so terrain regenerates at in-graph resets.
