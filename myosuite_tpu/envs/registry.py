@@ -617,5 +617,10 @@ def _register_all():
   register("MtxReafHandPoseRandom-v0", hand_pose_reaf,
            aliases=("myoReafHandPoseRandom-v0",))
 
+  # ---- MyoDM suite: hand+object tracking over the 50 GRAB objects ----
+  # (~90 track tasks + 100 Fixed/Random object envs, envs/myodm.py)
+  from myosuite_tpu.envs import myodm as myodm_mod
+  myodm_mod.register_all(register)
+
 
 _register_all()

@@ -22,7 +22,7 @@ _LITE_SET = [
     "MtxHandObjHoldRandom-v0", "MtxLegWalk-v0",
     "MtxFingerTrackCyclic-v0", "MtxTorsoPoseRandom-v0",
     "MtxArmReachRandom-v0", "MtxHandPose3Fixed-v0",
-    "MtxLegWalkStairs-v0",
+    "MtxLegWalkStairs-v0", "MtxHandAppleLift-v0", "MtxHandCupRandom-v0",
 ]
 _SWEEP = (registry.registered_envs()
           if os.environ.get("MTX_TEST", "LITE").upper() == "FULL"
