@@ -290,6 +290,21 @@ def _register_all():
       "MtxHandPenTwirlFixed-v0", functools.partial(pen, fixed=True),
       aliases=("myoHandPenTwirlFixed-v0",))
 
+  # ---- SAR multi-geometry reorient (reorient_sar_v0.py role) ----
+  from myosuite_tpu.envs.sar import ReorientSAREnv
+
+  def sar(overrides=None, variant="8"):
+    cfg = manip_config(
+        "pen", dict(pos_align=1.0, rot_align=1.0, act_reg=5.0, drop=5.0,
+                    bonus=10.0),
+        goal_center=(-0.15, 0.0, 1.17), geom_variant=variant)
+    return ReorientSAREnv(cfg, overrides)
+
+  for variant, rid in (("8", "Reorient8"), ("100", "Reorient100"),
+                       ("id", "ReorientID"), ("ood", "ReorientOOD")):
+    register(f"MtxHand{rid}-v0", functools.partial(sar, variant=variant),
+             aliases=(f"myoHand{rid}-v0",))
+
   def baoding(overrides=None, fixed=False):
     cfg = manip_config(
         "baoding", dict(pos_dist_1=5.0, pos_dist_2=5.0, drop=0.0),
