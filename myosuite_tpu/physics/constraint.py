@@ -33,7 +33,8 @@ class Efc(NamedTuple):
   R: jax.Array            # (nefc,)
   floss: jax.Array        # (nefc,) frictionloss bound (friction rows)
   active: jax.Array       # (nefc,) row participates (pre-jar gating)
-  is_friction: jax.Array  # (nefc,) static mask
+  is_friction: np.ndarray  # (nefc,) STATIC mask — stays host numpy so the
+                           # pallas path can read it at trace time
 
 
 def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
@@ -142,7 +143,7 @@ def make_efc(m: Model, d: Data) -> Efc:
     z = jnp.zeros(0, dtype=dtype)
     return Efc(J=jnp.zeros((0, m.nv), dtype=dtype), aref=z, R=jnp.ones(0),
                floss=z, active=jnp.zeros(0, dtype=bool),
-               is_friction=jnp.zeros(0, dtype=bool))
+               is_friction=np.zeros(0, dtype=bool))
 
   Js, arefs, Rs, flosses, actives, isfrs = [], [], [], [], [], []
 
@@ -266,4 +267,4 @@ def make_efc(m: Model, d: Data) -> Efc:
              R=jnp.concatenate(Rs),
              floss=jnp.concatenate(flosses),
              active=jnp.concatenate(actives),
-             is_friction=jnp.asarray(np.concatenate(isfrs)))
+             is_friction=np.concatenate(isfrs))

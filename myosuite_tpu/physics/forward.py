@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from myosuite_tpu.physics import (actuation, collision, constraint,
-                                  kinematics, smooth, solver, tendon)
+                                  kinematics, linalg, smooth, solver, tendon)
 from myosuite_tpu.physics import math
 from myosuite_tpu.physics.types import Data, IntegratorType, JointType, Model
 
@@ -127,25 +127,51 @@ def _integrate_act(m: Model, d: Data, h: float) -> jax.Array:
   return act
 
 
-def _integrate_qpos(m: Model, qpos: jax.Array, qvel: jax.Array,
-                    h: float) -> jax.Array:
-  """Position integration respecting quaternion manifolds."""
-  out = qpos
+_QPOS_PLANS = {}
+
+
+def _qpos_plan(m: Model):
+  """Static index tables for position integration: all linear qpos entries
+  (hinge/slide + free-joint translations) integrate in ONE vectorized
+  scatter; only quaternion entries (ball / free rotation) need per-joint
+  manifold treatment. myo models are all-hinge/slide plus a few free object
+  joints, so the python loop below is O(#quats), not O(njnt)."""
+  key = id(m.jnt_type)
+  if key in _QPOS_PLANS:
+    return _QPOS_PLANS[key]
+  lin_q, lin_v, quats = [], [], []
   for j in range(m.njnt):
     jtype = int(m.jnt_type[j])
     qadr = int(m.jnt_qposadr[j])
     vadr = int(m.jnt_dofadr[j])
     if jtype == JointType.FREE:
-      out = out.at[qadr:qadr + 3].set(
-          qpos[qadr:qadr + 3] + h * qvel[vadr:vadr + 3])
-      q = math.quat_integrate(qpos[qadr + 3:qadr + 7],
-                              qvel[vadr + 3:vadr + 6], h)
-      out = out.at[qadr + 3:qadr + 7].set(q)
+      lin_q += [qadr, qadr + 1, qadr + 2]
+      lin_v += [vadr, vadr + 1, vadr + 2]
+      quats.append((qadr + 3, vadr + 3))
     elif jtype == JointType.BALL:
-      q = math.quat_integrate(qpos[qadr:qadr + 4], qvel[vadr:vadr + 3], h)
-      out = out.at[qadr:qadr + 4].set(q)
+      quats.append((qadr, vadr))
     else:
-      out = out.at[qadr].set(qpos[qadr] + h * qvel[vadr])
+      lin_q.append(qadr)
+      lin_v.append(vadr)
+  plan = (np.asarray(lin_q, dtype=np.int32), np.asarray(lin_v,
+                                                        dtype=np.int32),
+          tuple(quats))
+  _QPOS_PLANS[key] = plan
+  return plan
+
+
+def _integrate_qpos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                    h: float) -> jax.Array:
+  """Position integration respecting quaternion manifolds."""
+  lin_q, lin_v, quats = _qpos_plan(m)
+  out = qpos
+  if len(lin_q) == m.nq and not quats:
+    out = qpos + h * qvel[lin_v]
+  elif len(lin_q):
+    out = out.at[lin_q].set(qpos[lin_q] + h * qvel[lin_v])
+  for qadr, vadr in quats:
+    q = math.quat_integrate(qpos[qadr:qadr + 4], qvel[vadr:vadr + 3], h)
+    out = out.at[qadr:qadr + 4].set(q)
   return out
 
 
@@ -157,9 +183,8 @@ def euler(m: Model, d: Data) -> Data:
   damping = np.asarray(jax.device_get(m.dof_damping))
   if (damping > 0).any():
     mh = d.qM + h * jnp.diag(m.dof_damping)
-    chol = jnp.linalg.cholesky(mh)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    qacc = linalg.solve_pd(mh, rhs)
   else:
     qacc = d.qacc
 

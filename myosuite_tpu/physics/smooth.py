@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from myosuite_tpu.physics import math
+from myosuite_tpu.physics import linalg, math
 from myosuite_tpu.physics.types import Data, Model
 
 
@@ -47,14 +47,13 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-  """Cholesky factorization of qM (dense, batched-friendly)."""
-  return d.replace(qLD=jnp.linalg.cholesky(d.qM))
+  """Cholesky factorization of qM (unrolled; see physics/linalg.py)."""
+  return d.replace(qLD=linalg.chol_factor(d.qM))
 
 
 def solve_m(d: Data, y: jax.Array) -> jax.Array:
   """Solve qM x = y using the cached Cholesky factor."""
-  z = jax.scipy.linalg.solve_triangular(d.qLD, y, lower=True)
-  return jax.scipy.linalg.solve_triangular(d.qLD.T, z, lower=False)
+  return linalg.chol_solve(d.qLD, y)
 
 
 def mul_m(d: Data, v: jax.Array) -> jax.Array:
@@ -100,9 +99,14 @@ def passive(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   qfrc = -m.dof_damping * d.qvel
 
-  # joint springs: generalized per joint type
+  # joint springs: generalized per joint type. Joints with zero stiffness
+  # are skipped statically — most myo models have none, so the per-joint
+  # loop usually traces to nothing.
+  stiffness_np = np.asarray(jax.device_get(m.jnt_stiffness))
   spring = jnp.zeros(m.nv, dtype=dtype)
   for j in range(m.njnt):
+    if stiffness_np[j] == 0.0:
+      continue
     stiff = m.jnt_stiffness[j]
     qadr = int(m.jnt_qposadr[j])
     vadr = int(m.jnt_dofadr[j])

@@ -19,8 +19,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from myosuite_tpu.physics import math
+from myosuite_tpu.physics import linalg, math
 from myosuite_tpu.physics.constraint import Efc
 from myosuite_tpu.physics.types import Data, Model
 
@@ -53,12 +54,32 @@ def _cost(efc: Efc, jar: jax.Array) -> jax.Array:
   return jnp.sum(jnp.where(efc.is_friction, fr_cost, lim_cost))
 
 
+def _use_pallas() -> bool:
+  """Fused TPU kernel path (physics/pallas_solver.py); env var gate for
+  debugging and for backends without Mosaic support."""
+  import os
+  if os.environ.get("MTX_DISABLE_PALLAS", "0") == "1":
+    return False
+  try:
+    return jax.default_backend() == "tpu"
+  except RuntimeError:
+    return False
+
+
 def solve(m: Model, d: Data,
           efc: Efc) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Returns (qacc, qfrc_constraint, efc_force)."""
   if efc.J.shape[0] == 0:
     return (d.qacc_smooth, jnp.zeros(m.nv, dtype=d.qpos.dtype),
             jnp.zeros(0, dtype=d.qpos.dtype))
+
+  if _use_pallas():
+    from myosuite_tpu.physics import pallas_solver
+    fn = pallas_solver.solve_entry(
+        tuple(bool(x) for x in np.asarray(efc.is_friction)),
+        int(m.opt.iterations), int(m.opt.ls_iterations))
+    return fn(d.qM, efc.J, efc.aref, efc.R, efc.floss,
+              efc.active.astype(d.qpos.dtype), d.qacc, d.qacc_smooth)
 
   a_smooth = d.qacc_smooth
 
@@ -71,14 +92,20 @@ def solve(m: Model, d: Data,
   a0 = jnp.where(total_cost(d.qacc) < total_cost(a_smooth),
                  d.qacc, a_smooth)
 
-  def newton_iter(a, _):
+  # Both loops are STATICALLY UNROLLED in python, never lax.scan: a scan
+  # whose body mixes dynamic-update-slices (the unrolled Cholesky) with the
+  # carry defeats XLA's fusion on TPU — measured in-graph, scan-of-6 Newton
+  # iterations costs 32.5 ms/substep vs 3.0 ms unrolled (batch 2048, myoHand,
+  # v5e). Iteration counts are small static config (6x6), so trace size
+  # stays modest.
+  a = a0
+  for _ in range(int(m.opt.iterations)):
     jar = math.mm(efc.J, a) - efc.aref
     force, w = _forces(efc, jar)
     grad = math.mm(d.qM, a - a_smooth) - math.mm(efc.J.T, force)
     hess = d.qM + math.mm(efc.J.T * w[None, :], efc.J)
     hess = hess + _RIDGE * jnp.eye(m.nv, dtype=a.dtype)
-    chol = jnp.linalg.cholesky(hess)
-    p = -jax.scipy.linalg.cho_solve((chol, True), grad)
+    p = -linalg.solve_pd(hess, grad)
 
     # exact-ish linesearch: 1D Newton on alpha over the piecewise quadratic
     jp = math.mm(efc.J, p)
@@ -86,22 +113,16 @@ def solve(m: Model, d: Data,
     g0 = p @ math.mm(d.qM, a - a_smooth)
     pmp = p @ mp
 
-    def ls_iter(alpha, _):
+    alpha = jnp.float32(1.0)
+    for _ in range(int(m.opt.ls_iterations)):
       jar_a = jar + alpha * jp
       force_a, w_a = _forces(efc, jar_a)
       dphi = g0 + alpha * pmp - jnp.sum(force_a * jp)
       ddphi = pmp + jnp.sum(w_a * jp * jp)
-      alpha_new = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-      return jnp.clip(alpha_new, 0.0, 4.0), None
-
-    alpha, _ = jax.lax.scan(ls_iter, jnp.float32(1.0), None,
-                            length=m.opt.ls_iterations)
+      alpha = jnp.clip(alpha - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
     a_new = a + alpha * p
     # guard: keep the better point
-    a_new = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a)
-    return a_new, None
-
-  a, _ = jax.lax.scan(newton_iter, a0, None, length=m.opt.iterations)
+    a = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a)
 
   jar = math.mm(efc.J, a) - efc.aref
   force, _ = _forces(efc, jar)

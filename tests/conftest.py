@@ -9,6 +9,9 @@ Must run before the first jax import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU-tunnel sitecustomize registers its PJRT plugin (and reads
+# jax's platform config) before conftest runs, so the env var alone is
+# ignored — force the platform through jax.config below as well.
 
 
 def pytest_sessionfinish(session, exitstatus):
@@ -32,5 +35,6 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compilation cache: physics pipelines are expensive to compile
 # and identical across test runs.
 import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/mtx_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,120 @@
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mtx_jax_cache")
+import jax, jax.numpy as jnp
+import myosuite_tpu
+from myosuite_tpu.physics import forward as F, constraint as Con, solver as Sol
+from myosuite_tpu.physics import math, linalg
+
+env = myosuite_tpu.make("MtxHandReachRandom-v0")
+m = env.model
+B, N = 2048, 50
+rngs = jax.random.split(jax.random.PRNGKey(0), B)
+state = jax.jit(jax.vmap(env.reset))(rngs)
+d0 = state.data
+
+def scan_time(name, fn):
+  def run(d):
+    def body(dd, _):
+      return fn(dd), None
+    d, _ = jax.lax.scan(body, d, None, length=N)
+    return d
+  jf = jax.jit(jax.vmap(run))
+  out = jf(d0); jax.block_until_ready(out.qpos)
+  t0=time.perf_counter()
+  for _ in range(3): out = jf(d0)
+  jax.block_until_ready(out.qpos)
+  print(f"{name:30s} {(time.perf_counter()-t0)/3/N*1e3:8.3f} ms/substep")
+
+base = jax.jit(jax.vmap(lambda d: F.fwd_acceleration(m, F.fwd_actuation(m, F.fwd_velocity(m, F.fwd_position(m, d))))))
+d1 = base(d0)
+
+def mk(d):
+  efc = Con.make_efc(m, d)
+  return d.replace(qacc=d.qacc + 1e-9*jnp.sum(efc.J) + 1e-9*jnp.sum(efc.aref))
+
+scan_time("make_efc only", mk)
+
+def solve_partial(n_newton, n_ls, guard=True, warm=True):
+  def f(d):
+    efc = Con.make_efc(m, d)
+    a_smooth = d.qacc_smooth
+    def total_cost(a):
+      jar = math.mm(efc.J, a) - efc.aref
+      da = a - a_smooth
+      return 0.5 * da @ math.mm(d.qM, da) + Sol._cost(efc, jar)
+    if warm:
+      a0 = jnp.where(total_cost(d.qacc) < total_cost(a_smooth), d.qacc, a_smooth)
+    else:
+      a0 = a_smooth
+    def newton_iter(a, _):
+      jar = math.mm(efc.J, a) - efc.aref
+      force, w = Sol._forces(efc, jar)
+      grad = math.mm(d.qM, a - a_smooth) - math.mm(efc.J.T, force)
+      hess = d.qM + math.mm(efc.J.T * w[None, :], efc.J)
+      hess = hess + 1e-8 * jnp.eye(m.nv, dtype=a.dtype)
+      p = -linalg.solve_pd(hess, grad)
+      jp = math.mm(efc.J, p)
+      mp = math.mm(d.qM, p)
+      g0 = p @ math.mm(d.qM, a - a_smooth)
+      pmp = p @ mp
+      def ls_iter(alpha, _):
+        jar_a = jar + alpha * jp
+        force_a, w_a = Sol._forces(efc, jar_a)
+        dphi = g0 + alpha * pmp - jnp.sum(force_a * jp)
+        ddphi = pmp + jnp.sum(w_a * jp * jp)
+        return jnp.clip(alpha - dphi/jnp.maximum(ddphi,1e-12), 0.0, 4.0), None
+      if n_ls:
+        alpha, _ = jax.lax.scan(ls_iter, jnp.float32(1.0), None, length=n_ls)
+      else:
+        alpha = jnp.float32(1.0)
+      a_new = a + alpha * p
+      if guard:
+        a_new = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a)
+      return a_new, None
+    a, _ = jax.lax.scan(newton_iter, a0, None, length=n_newton)
+    return d.replace(qacc=a)
+  return f
+
+scan_time("newton1 ls0 noguard nowarm", solve_partial(1,0,False,False))
+scan_time("newton1 ls6 noguard nowarm", solve_partial(1,6,False,False))
+scan_time("newton1 ls6 guard nowarm", solve_partial(1,6,True,False))
+scan_time("newton6 ls0 noguard nowarm", solve_partial(6,0,False,False))
+scan_time("newton6 ls6 noguard nowarm", solve_partial(6,6,False,False))
+scan_time("newton6 ls6 guard warm", solve_partial(6,6,True,True))
+scan_time("fwd_constraint(real)", lambda d: F.fwd_constraint(m, d))
+
+def solve_unrolled(n_newton, n_ls, guard=True, warm=True, use_scan_ls=False):
+  def f(d):
+    efc = Con.make_efc(m, d)
+    a_smooth = d.qacc_smooth
+    def total_cost(a):
+      jar = math.mm(efc.J, a) - efc.aref
+      da = a - a_smooth
+      return 0.5 * da @ math.mm(d.qM, da) + Sol._cost(efc, jar)
+    a = jnp.where(total_cost(d.qacc) < total_cost(a_smooth), d.qacc, a_smooth) if warm else a_smooth
+    for _ in range(n_newton):
+      jar = math.mm(efc.J, a) - efc.aref
+      force, w = Sol._forces(efc, jar)
+      grad = math.mm(d.qM, a - a_smooth) - math.mm(efc.J.T, force)
+      hess = d.qM + math.mm(efc.J.T * w[None, :], efc.J)
+      hess = hess + 1e-8 * jnp.eye(m.nv, dtype=a.dtype)
+      p = -linalg.solve_pd(hess, grad)
+      jp = math.mm(efc.J, p)
+      mp = math.mm(d.qM, p)
+      g0 = p @ math.mm(d.qM, a - a_smooth)
+      pmp = p @ mp
+      alpha = jnp.float32(1.0)
+      for _ in range(n_ls):
+        jar_a = jar + alpha * jp
+        force_a, w_a = Sol._forces(efc, jar_a)
+        dphi = g0 + alpha * pmp - jnp.sum(force_a * jp)
+        ddphi = pmp + jnp.sum(w_a * jp * jp)
+        alpha = jnp.clip(alpha - dphi/jnp.maximum(ddphi,1e-12), 0.0, 4.0)
+      a_new = a + alpha * p
+      a = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a) if guard else a_new
+    return d.replace(qacc=a)
+  return f
+
+scan_time("UNROLL newton6 ls6 g w", solve_unrolled(6,6,True,True))
+scan_time("UNROLL newton2 ls6 g w", solve_unrolled(2,6,True,True))
