@@ -72,3 +72,96 @@ def build_arm_reach_xml() -> str:
   # wrist/arm muscles keep their ranges through the MjSpec round-trip
   xml = builder.finalize_muscles(hand.build_hand(arm=True))
   return ModelEditor(xml).edit(edit_fn_arm_reaching).to_xml()
+
+
+def edit_fn_tabletennis(spec: mujoco.MjSpec) -> None:
+  """Attach a paddle to the palm and add ball + table + net.
+
+  Reference scene role: myochallenge TableTennisEnvV0
+  (/root/reference/myosuite/envs/myo/myochallenge/tabletennis_v0.py:28);
+  the paddle is welded to the hand, the ball relaunches toward the agent.
+  Collision masks keep ball<->{paddle, table} pairs only, so the static
+  contact-slot table stays small.
+  """
+  palm = spec.body("palm")
+  palm.add_geom(name="paddle_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
+                pos=[0, 0.002, -0.16], size=[0.012, 0.08, 0.085],
+                mass=0.17, contype=8, conaffinity=8)
+  palm.add_site(name="paddle_center", pos=[0, 0.002, -0.16],
+                size=[0.005, 0, 0])
+
+  world = spec.worldbody
+  # table: two halves + net, agent side near x=-0.45
+  world.add_geom(name="table_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
+                 pos=[-1.3, 0.0, 0.86], size=[0.9, 0.78, 0.02],
+                 contype=4, conaffinity=8)
+  world.add_geom(name="net_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
+                 pos=[-1.3, 0.0, 0.95], size=[0.01, 0.78, 0.08],
+                 contype=4, conaffinity=8)
+  ball = world.add_body(name="pingpong", pos=[-2.0, 0.0, 1.2])
+  ball.add_joint(name="ball_free", type=mujoco.mjtJoint.mjJNT_FREE,
+                 limited=False, damping=0.0, armature=0.0)
+  ball.add_geom(name="ball_geom", type=mujoco.mjtGeom.mjGEOM_SPHERE,
+                size=[0.02, 0, 0], mass=0.0027, contype=8, conaffinity=12,
+                solref=[0.01, 0.6])
+  ball.add_site(name="ball_site", size=[0.004, 0, 0])
+
+
+def build_tabletennis_xml() -> str:
+  """Full myoArm with a welded paddle, ball and table."""
+  from myosuite_tpu.assets import builder, hand
+
+  xml = builder.finalize_muscles(hand.build_hand(arm=True))
+  return ModelEditor(xml).edit(edit_fn_tabletennis).to_xml()
+
+
+# ---------------------------------------------------------------------------
+# spec processing helpers (reference utils/spec_processing.py:4-40 roles)
+# ---------------------------------------------------------------------------
+
+
+def _subtree_bodies(spec: mujoco.MjSpec, root_name: str):
+  root = spec.body(root_name)
+  out = [root]
+  frontier = [root]
+  names = {b.name for b in spec.bodies}
+  while frontier:
+    b = frontier.pop()
+    for child in spec.bodies:
+      try:
+        parent = child.parent
+      except Exception:
+        parent = None
+      if parent is not None and parent.name == b.name and child.name in names:
+        out.append(child)
+        frontier.append(child)
+  return out
+
+
+def recursive_immobilize(spec: mujoco.MjSpec, root_name: str = None) -> None:
+  """Delete every joint under root (whole model if None) — the reference's
+  immobilize pass (spec_processing.py) used to freeze limb subtrees."""
+  bodies = (_subtree_bodies(spec, root_name) if root_name
+            else list(spec.bodies))
+  for b in bodies:
+    for j in list(b.joints):
+      spec.delete(j)
+
+
+def recursive_decontact(spec: mujoco.MjSpec, root_name: str = None) -> None:
+  """Zero contype/conaffinity under root (reference decontact pass)."""
+  bodies = (_subtree_bodies(spec, root_name) if root_name
+            else list(spec.bodies))
+  for b in bodies:
+    for g in b.geoms:
+      g.contype = 0
+      g.conaffinity = 0
+
+
+def mirror_name(name: str) -> str:
+  """r_/l_ prefix swap (reference mirror pass helper)."""
+  if name.startswith("r_"):
+    return "l_" + name[2:]
+  if name.startswith("l_"):
+    return "r_" + name[2:]
+  return name

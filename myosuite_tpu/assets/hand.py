@@ -239,7 +239,8 @@ OBJECT_SNIPPETS = {
 
 
 def build_hand(palm_up: bool = False, obj: str = "",
-               arm: bool = False) -> str:
+               arm: bool = False, extra_worldbody: str = "",
+               extra_actuators: str = "") -> str:
   digits = []
   tendons = []
   palm_sites = []
@@ -268,6 +269,7 @@ def build_hand(palm_up: bool = False, obj: str = "",
   <site name="TH_ADPt_i" pos="-0.004 -0.007 -0.03"/>
   <site name="TH_ADPo_i" pos="-0.004 -0.007 -0.038"/>
   <site name="TH_OPP_i" pos="-0.006 0.004 -0.025"/>
+  <site name="TH_APL_i" pos="0.008 0.006 -0.012"/>
   <body name="TH_prox" pos="0 0 -0.042">
     <joint name="TH_mcp_abd" type="hinge" axis="1 0 0" range="-0.3 0.3"/>
     <joint name="TH_mcp_flex" type="hinge" axis="0 1 0" range="-0.2 1.2"/>
@@ -297,7 +299,6 @@ def build_hand(palm_up: bool = False, obj: str = "",
 <site name="TH_EPL_o" pos="0.010 0.03 -0.015"/>
 <site name="TH_EPB_o" pos="0.012 0.032 -0.018"/>
 <site name="TH_APL_o" pos="0.008 0.028 -0.01"/>
-<site name="TH_APL_i_pre" pos="0.0 0.04 -0.03"/>
 <site name="TH_ADPt_o" pos="-0.006 -0.01 -0.05"/>
 <site name="TH_ADPo_o" pos="-0.006 -0.004 -0.07"/>
 <site name="TH_OPP_o" pos="-0.008 0.015 -0.02"/>
@@ -329,7 +330,7 @@ def build_hand(palm_up: bool = False, obj: str = "",
 </spatial>
 <spatial name="TH_APL_t" width="0.0015">
   <site site="TH_APL_o"/>
-  <site site="TH_APL_i_pre"/>
+  <site site="TH_APL_i"/>
 </spatial>
 <spatial name="TH_ADPt_t" width="0.0015">
   <site site="TH_ADPt_o"/>
@@ -465,6 +466,7 @@ def build_hand(palm_up: bool = False, obj: str = "",
   </default>
   <worldbody>
     {worldbody}
+    {extra_worldbody}
   </worldbody>
   <tendon>
     {extra_tendons}
@@ -477,6 +479,7 @@ def build_hand(palm_up: bool = False, obj: str = "",
     {wrist_muscles}
     {thumb_muscles}
     {chr(10).join(muscles)}
+    {extra_actuators}
   </actuator>
 </mujoco>
 """

@@ -523,3 +523,336 @@ class RelocateEnv(MyoEnv):
     for k, v in fresh.items():
       info[k] = jnp.where(boundary, v, state.info[k])
     return info
+
+
+class BimanualEnv(MyoEnv):
+  """Pass an object from a start pillar to a prosthetic gripper / goal
+  pillar (MyoChallenge'24 BimanualEnvV1,
+  /root/reference/myosuite/envs/myo/myochallenge/bimanual_v0.py:24).
+
+  TPU-native redesign: the full myoArm (63 muscles) reaches for a box on
+  the start pillar while the policy simultaneously drives a simplified
+  position-actuated prosthetic gripper (the reference's MPL role) to
+  receive it over the goal pillar. The reference's contact-label
+  observation `touching_body` (bimanual_v0.py:173 one-hot over
+  MYO/PROSTH/START/GOAL/ENV) is computed from static contact-slot masks.
+  Reward contract (bimanual_v0.py:36-44): reach_dist -0.1, act 0,
+  fin_dis -0.5, pass_err -1.
+  """
+
+  FIN_SITES = ("THtip", "IFtip", "MFtip", "RFtip", "LFtip")
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+
+    def sid(name):
+      s = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_SITE.value, name)
+      assert s >= 0, name
+      return s
+
+    self._rpalm_site = sid("pros_palm")
+    self._obj_site = sid("object_site")
+    self._fin_sites = [sid(n) for n in self.FIN_SITES]
+    # myo-hand grasp point (reference S_grasp site role): the palm body
+    self._palm_body = mujoco.mj_name2id(
+        mj, mujoco.mjtObj.mjOBJ_BODY.value, "palm")
+
+    j = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, "object_free")
+    self._obj_qadr = int(mj.jnt_qposadr[j])
+    self._obj_dadr = int(mj.jnt_dofadr[j])
+    jp = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, "pros_x")
+    self._pros_qadr = int(mj.jnt_qposadr[jp])
+    self._pros_dadr = int(mj.jnt_dofadr[jp])
+
+    # contact-label masks: object vs {myo hand, prosthesis, start, goal}
+    obj_geom = _geom_ids(mj, ["object_geom"])[0]
+    names = [mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_GEOM.value, g) or ""
+             for g in range(mj.ngeom)]
+    pros = [g for g, n in enumerate(names) if n.startswith("pros_")]
+    start = _geom_ids(mj, ["start_pillar"])
+    goal = _geom_ids(mj, ["goal_pillar"])
+    myo = [g for g in range(mj.ngeom)
+           if g != obj_geom and g not in pros + start + goal]
+
+    def obj_vs(group):
+      ids = set(group)
+      mask = []
+      for p in np.asarray(self._model.collision_pairs.arr):
+        g1, g2 = int(p[0]), int(p[1])
+        pair_hit = ((g1 == obj_geom and g2 in ids)
+                    or (g2 == obj_geom and g1 in ids))
+        mask.extend([1.0 if pair_hit else 0.0] * int(p[2]))
+      return jnp.asarray(np.array(mask, dtype=np.float32))
+
+    self._touch_masks = [obj_vs(g) for g in (myo, pros, start, goal)]
+    # robotic (non-muscle) actuators get a linear ctrlrange map instead of
+    # the muscle sigmoid (reference tabletennis_v0.py step(); MPL analog)
+    self._robotic = jnp.asarray(
+        np.asarray(mj.actuator_dyntype) != 4)  # mjDYN_MUSCLE
+
+  def _make_xml(self) -> str:
+    return self._config.model_xml
+
+  def step(self, state: State, action: jax.Array) -> State:
+    m = self._model
+    lo = m.actuator_ctrlrange[:, 0]
+    hi = m.actuator_ctrlrange[:, 1]
+    linear = 0.5 * (lo + hi) + action * 0.5 * (hi - lo)
+    ctrl = jnp.where(self._robotic, linear, self.norm_actions(action))
+    return self.step_ctrl(state, ctrl)
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1, r2 = jax.random.split(rng, 3)
+    m = self._model
+    cfg = self._config
+    qpos = jnp.asarray(m.qpos0)
+    # start/goal shifts (bimanual_v0.py start_shifts/goal_shifts: xy jitter)
+    start_shift = jax.random.uniform(r1, (2,), minval=-0.04, maxval=0.04)
+    goal_shift = jax.random.uniform(r2, (2,), minval=-0.05, maxval=0.05)
+    qpos = qpos.at[self._obj_qadr:self._obj_qadr + 2].add(start_shift)
+    goal_pos = (jnp.asarray(cfg.goal_center, dtype=jnp.float32)
+                .at[:2].add(goal_shift))
+    qvel = jnp.zeros(m.nv)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0), "goal_pos": goal_pos}
+    data = self._make_data(qpos, qvel)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    return State(data, obs, zero, zero,
+                 {"solved": zero, "lifted": zero}, info)
+
+  def _touching_body(self, data: Data) -> jax.Array:
+    """5-dim contact-label vector [myo, prosth, start, goal, env]."""
+    active = (data.contact_force > 0.0).astype(jnp.float32)
+    counts = [jnp.dot(mask, active) for mask in self._touch_masks]
+    env_count = jnp.maximum(
+        jnp.sum(active) - sum(counts), 0.0)
+    return jnp.stack(counts + [env_count])
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    dt = self._config.sim_dt
+    obj_q = data.qpos[self._obj_qadr:self._obj_qadr + 7]
+    obj_v = data.qvel[self._obj_dadr:self._obj_dadr + 6]
+    palm = data.xpos[self._palm_body]
+    rpalm = data.site_xpos[self._rpalm_site]
+    obj = data.site_xpos[self._obj_site]
+    return {"state": jnp.concatenate([
+        data.time[None] if data.time.ndim == 0 else data.time,  # time
+        data.qpos[:self._pros_qadr],                 # myohand_qpos
+        data.qvel[:self._pros_dadr] * dt,            # myohand_qvel
+        data.qpos[self._pros_qadr:self._obj_qadr],   # pros_hand_qpos
+        data.qvel[self._pros_dadr:self._obj_dadr] * dt,  # pros_hand_qvel
+        obj_q, obj_v * dt,                           # object_qpos/qvel
+        self._touching_body(data),                   # touching_body
+        palm - obj,                                  # reach_err
+        rpalm - obj,                                 # pass_err
+        info["goal_pos"] - obj,
+        data.act,
+    ])}
+
+  def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
+    palm = data.xpos[self._palm_body]
+    rpalm = data.site_xpos[self._rpalm_site]
+    obj = data.site_xpos[self._obj_site]
+    fin_dis = sum(jnp.linalg.norm(data.site_xpos[s] - obj)
+                  for s in self._fin_sites)
+    return {"reach_dist": jnp.linalg.norm(palm - obj),
+            "act": jnp.linalg.norm(data.act) / jnp.maximum(self._model.na, 1),
+            "fin_dis": fin_dis,
+            "pass_err": jnp.linalg.norm(rpalm - obj)}
+
+  def _solved(self, data: Data, info) -> jax.Array:
+    dist = jnp.linalg.norm(
+        data.site_xpos[self._obj_site] - info["goal_pos"])
+    return jnp.float32(dist < self._config.proximity_th)
+
+  def _get_done(self, state: State) -> jax.Array:
+    dropped = state.data.site_xpos[self._obj_site][2] < self._config.drop_th
+    return jnp.maximum(jnp.float32(dropped),
+                       self._solved(state.data, state.info))
+
+  def _get_metrics(self, state, rewards):
+    lifted = jnp.float32(
+        state.data.site_xpos[self._obj_site][2] > self._config.lift_th)
+    return {"solved": self._solved(state.data, state.info),
+            "lifted": lifted}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, r2 = jax.random.split(state.info["rng"])
+    goal_shift = jax.random.uniform(r2, (2,), minval=-0.05, maxval=0.05)
+    fresh_goal = (jnp.asarray(self._config.goal_center, dtype=jnp.float32)
+                  .at[:2].add(goal_shift))
+    return {**state.info, "rng": rng, "truncation": truncation,
+            "goal_pos": jnp.where(boundary, fresh_goal,
+                                  state.info["goal_pos"]),
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}
+
+
+class TableTennisEnv(MyoEnv):
+  """Return a served ping-pong ball with a paddle welded to the myoArm hand
+  (MyoChallenge'25 TableTennisEnvV0,
+  /root/reference/myosuite/envs/myo/myochallenge/tabletennis_v0.py:28).
+
+  Obs contract (tabletennis_v0.py:30-41): pelvis_pos, body_qpos, body_qvel,
+  ball_pos, ball_vel, paddle_pos, paddle_vel, paddle_ori, reach_err,
+  touching_info. Reward contract (tabletennis_v0.py:42-53): reach_dist 1,
+  palm_dist 1, paddle_quat 2, act_reg 0.5, torso_up 2, sparse 100,
+  solved 1000, done -10. The serve relaunches through the in-graph
+  auto-reset (the reference relaunches in-place, relaunch_ball:420).
+  """
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    mj = self._mj_model
+
+    def sid(name):
+      s = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_SITE.value, name)
+      assert s >= 0, name
+      return s
+
+    self._paddle_site = sid("paddle_center")
+    self._ball_site = sid("ball_site")
+    self._palm_body = mujoco.mj_name2id(
+        mj, mujoco.mjtObj.mjOBJ_BODY.value, "palm")
+    self._thorax_body = mujoco.mj_name2id(
+        mj, mujoco.mjtObj.mjOBJ_BODY.value, "thorax")
+    j = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value, "ball_free")
+    self._ball_qadr = int(mj.jnt_qposadr[j])
+    self._ball_dadr = int(mj.jnt_dofadr[j])
+    paddle_geom = _geom_ids(mj, ["paddle_geom"])[0]
+    table_geom = _geom_ids(mj, ["table_geom"])[0]
+    ball_geom = _geom_ids(mj, ["ball_geom"])[0]
+
+    def pair_mask(a, b):
+      mask = []
+      for p in np.asarray(self._model.collision_pairs.arr):
+        g1, g2 = int(p[0]), int(p[1])
+        hit = {g1, g2} == {a, b}
+        mask.extend([1.0 if hit else 0.0] * int(p[2]))
+      return jnp.asarray(np.array(mask, dtype=np.float32))
+
+    self._paddle_ball = pair_mask(paddle_geom, ball_geom)
+    self._table_ball = pair_mask(table_geom, ball_geom)
+
+  def _make_xml(self) -> str:
+    return self._config.model_xml
+
+  def _launch_ball(self, rng: jax.Array):
+    """Serve position + velocity toward the paddle workspace
+    (reference relaunch_ball / cal_ball_qvel semantics)."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    pos = jnp.asarray([-2.0, 0.0, 1.25], dtype=jnp.float32)
+    pos = pos.at[1].add(jax.random.uniform(r1, minval=-0.25, maxval=0.25))
+    vx = jax.random.uniform(r2, minval=2.4, maxval=3.2)
+    vy = -pos[1] * jax.random.uniform(r3, minval=0.3, maxval=0.8)
+    vel = jnp.stack([vx, vy, jnp.float32(0.8)])
+    return pos, vel
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1 = jax.random.split(rng)
+    m = self._model
+    qpos = jnp.asarray(m.qpos0)
+    qvel = jnp.zeros(m.nv)
+    pos, vel = self._launch_ball(r1)
+    qpos = qpos.at[self._ball_qadr:self._ball_qadr + 3].set(pos)
+    qvel = qvel.at[self._ball_dadr:self._ball_dadr + 3].set(vel)
+    info = {"rng": rng, "step_count": jnp.int32(0),
+            "truncation": jnp.float32(0.0),
+            "paddle_hit": jnp.float32(0.0)}
+    data = self._make_data(qpos, qvel)
+    obs = self._get_obs(data, info)
+    zero = jnp.float32(0.0)
+    return State(data, obs, zero, zero,
+                 {"solved": zero, "hit": zero}, info)
+
+  def _ball_pos(self, data: Data) -> jax.Array:
+    return data.qpos[self._ball_qadr:self._ball_qadr + 3]
+
+  def _ball_vel(self, data: Data) -> jax.Array:
+    return data.qvel[self._ball_dadr:self._ball_dadr + 3]
+
+  def _paddle_touch(self, data: Data) -> jax.Array:
+    active = (data.contact_force > 0.0).astype(jnp.float32)
+    return jnp.float32(jnp.dot(self._paddle_ball, active) > 0)
+
+  def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
+    state = super()._step_simulation(state, ctrl)
+    hit = jnp.maximum(state.info["paddle_hit"],
+                      self._paddle_touch(state.data))
+    return state.replace(info={**state.info, "paddle_hit": hit})
+
+  def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
+    dt = self._config.sim_dt
+    paddle = data.site_xpos[self._paddle_site]
+    ball = self._ball_pos(data)
+    face = data.site_xmat[self._paddle_site][:, 0]   # paddle face normal
+    active = (data.contact_force > 0.0).astype(jnp.float32)
+    touching = jnp.stack([jnp.dot(self._paddle_ball, active),
+                          jnp.dot(self._table_ball, active)])
+    return {"state": jnp.concatenate([
+        data.xpos[self._thorax_body],                 # pelvis_pos role
+        data.qpos[:self._ball_qadr],                  # body_qpos
+        data.qvel[:self._ball_dadr] * dt,             # body_qvel
+        ball, self._ball_vel(data) * dt,              # ball_pos, ball_vel
+        paddle,                                       # paddle_pos
+        data.cvel[self._palm_body] * dt,              # paddle_vel
+        face,                                         # paddle_ori
+        paddle - ball,                                # reach_err
+        touching,                                     # touching_info
+        info["paddle_hit"][None],
+        data.act,
+    ])}
+
+  def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
+    paddle = data.site_xpos[self._paddle_site]
+    palm = data.xpos[self._palm_body]
+    ball = self._ball_pos(data)
+    reach = jnp.linalg.norm(paddle - ball)
+    palm_d = jnp.linalg.norm(palm - ball)
+    # face the serve: paddle normal toward -x (the reference's fixed
+    # target orientation, tabletennis_v0.py padde_ori_err role)
+    face = data.site_xmat[self._paddle_site][:, 0]
+    ori_err = jnp.linalg.norm(face - jnp.asarray([-1.0, 0.0, 0.0]))
+    # posture regularizer: the torso joint of the reference model maps to
+    # shoulder internal rotation here (our arm has a welded thorax)
+    torso_err = jnp.abs(data.qpos[2])
+    return {"reach_dist": jnp.exp(-1.0 * reach),
+            "palm_dist": jnp.exp(-5.0 * palm_d),
+            "paddle_quat": jnp.exp(-5.0 * ori_err),
+            "torso_up": jnp.exp(-5.0 * torso_err),
+            "act_reg": -jnp.linalg.norm(data.act)
+            / jnp.maximum(self._model.na, 1),
+            "sparse": self._paddle_touch(data),
+            "solved": self._solved(data, info),
+            "done_pen": -self._lost(data)}
+
+  def _solved(self, data: Data, info) -> jax.Array:
+    """Rally success: ball was returned over the net onto the far side."""
+    ball = self._ball_pos(data)
+    vel = self._ball_vel(data)
+    returned = (ball[0] < -1.4) & (vel[0] < 0) & (ball[2] > 0.86)
+    return info["paddle_hit"] * jnp.float32(returned)
+
+  def _lost(self, data: Data) -> jax.Array:
+    ball = self._ball_pos(data)
+    return jnp.float32((ball[2] < 0.5) | (ball[0] > 0.4))
+
+  def _get_done(self, state: State) -> jax.Array:
+    return jnp.maximum(self._lost(state.data),
+                       self._solved(state.data, state.info))
+
+  def _get_metrics(self, state, rewards):
+    return {"solved": self._solved(state.data, state.info),
+            "hit": state.info["paddle_hit"]}
+
+  def _get_info(self, state: State) -> Dict:
+    truncation, boundary = self._episode_boundary(state)
+    rng, _ = jax.random.split(state.info["rng"])
+    return {**state.info, "rng": rng, "truncation": truncation,
+            "paddle_hit": jnp.where(boundary, 0.0,
+                                    state.info["paddle_hit"]),
+            "step_count": jnp.where(boundary, jnp.int32(0),
+                                    state.info["step_count"])}

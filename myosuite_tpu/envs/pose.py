@@ -113,3 +113,67 @@ class PoseEnv(MyoEnv):
                            state.info["step_count"])
     return {**state.info, "rng": rng, "step_count": step_count,
             "target_angles": target, "truncation": truncation}
+
+
+class ElbowExoPoseEnv(PoseEnv):
+  """Elbow pose with per-episode payload-weight randomization and an
+  exoskeleton assist torque.
+
+  Reference role: the myoElbowPose1D6M exo variants with hand-weight
+  randomization (/root/reference/myosuite/envs/myo/myobase/pose_v0.py
+  weight randomization in reset, and the *_2dofexo model envs registered
+  in myobase/__init__.py). The payload is randomized in-graph via the
+  _model_for_step hook; the exo contributes a constant fraction of the
+  gravity torque at the elbow dof.
+  """
+
+  def __init__(self, config, overrides=None):
+    super().__init__(config, overrides)
+    import mujoco
+    self._payload_body = mujoco.mj_name2id(
+        self._mj_model, mujoco.mjtObj.mjOBJ_BODY.value, "forearm")
+    assert self._payload_body >= 0
+
+  def _model_for_step(self, info):
+    m = self._model
+    extra = info["payload_mass"]
+    return m.replace(
+        body_mass=m.body_mass.at[self._payload_body].add(extra),
+        body_inertia=m.body_inertia.at[self._payload_body].mul(
+            1.0 + extra / m.body_mass[self._payload_body]))
+
+  def _sample_payload(self, rng):
+    lo, hi = self._config.weight_range
+    return jax.random.uniform(rng, minval=lo, maxval=hi)
+
+  def reset(self, rng: jax.Array) -> State:
+    rng, r1 = jax.random.split(rng)
+    state = super().reset(rng)
+    info = {**state.info, "payload_mass": self._sample_payload(r1)}
+    # rebuild obs now that the payload is known (the base reset built it
+    # with the 0.0 placeholder)
+    return state.replace(info=info, obs=self._get_obs(state.data, info))
+
+  def _step_simulation(self, state: State, ctrl: jax.Array) -> State:
+    # exo assist: gravity-compensating elbow torque (assist_fraction of the
+    # payload-dependent static gravity load)
+    assist = self._config.get("exo_assist", 0.0)
+    if assist:
+      tau = assist * state.data.qfrc_bias
+      state = state.replace(
+          data=state.data.replace(qfrc_applied=tau))
+    return super()._step_simulation(state, ctrl)
+
+  def _get_obs(self, data: Data, info: Dict) -> Dict[str, jax.Array]:
+    base = super()._get_obs(data, info)
+    payload = jnp.asarray(info.get("payload_mass", 0.0), dtype=jnp.float32)
+    return {"state": jnp.concatenate([base["state"], payload[None]])}
+
+  def _get_info(self, state: State) -> Dict:
+    info = super()._get_info(state)
+    _, boundary = self._episode_boundary(state)
+    rng, r1 = jax.random.split(info["rng"])
+    info["rng"] = rng
+    info["payload_mass"] = jnp.where(
+        boundary, self._sample_payload(r1), state.info["payload_mass"])
+    return info

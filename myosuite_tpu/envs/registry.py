@@ -90,6 +90,50 @@ def _cached_env(name: str, overrides_key=None):
   return _REGISTRY[name](overrides)
 
 
+def register_env_variant(env_id: str, variants: Dict[str, Any],
+                         variant_id: Optional[str] = None,
+                         silent: bool = False) -> str:
+  """Register a variant of a registered env by merging config overrides.
+
+  Role-equivalent of the reference's register_env_variant
+  (/root/reference/myosuite/envs/env_variants.py:91-129): `variants` maps
+  flat dot-path keys (e.g. "reward_weights.pose" or "max_episode_steps")
+  to values; the variant id is auto-generated from the override keys when
+  not given. Returns the new env id.
+  """
+  base = resolve(env_id)
+  if base not in _REGISTRY:
+    raise KeyError(f"unknown env {env_id!r}")
+  if variant_id is None:
+    tag = "-".join(f"{k.split('.')[-1]}={v}" for k, v in
+                   sorted(variants.items()))
+    stem, _, ver = base.rpartition("-")
+    variant_id = f"{stem}_{tag}-{ver}"
+  base_factory = _REGISTRY[base]
+
+  def nest(flat: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in flat.items():
+      cur = out
+      parts = k.split(".")
+      for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+      cur[parts[-1]] = v
+    return out
+
+  def factory(overrides=None):
+    merged = nest(variants)
+    if overrides:
+      merged.update(overrides)
+    return base_factory(merged)
+
+  register(variant_id, factory)
+  if not silent:
+    from myosuite_tpu.utils.prompt_utils import prompt
+    prompt(f"Registered env variant: {variant_id}", type_="INFO")
+  return variant_id
+
+
 def make(name: str, config_overrides: Optional[Dict[str, Any]] = None):
   """Instantiate (cached) an env by id — the reference's make()
   (/root/reference/myosuite/envs/myo/mjx/__init__.py:109) equivalent."""
@@ -620,6 +664,107 @@ def _register_all():
 
   register("MtxRelocate-v0", relocate,
            aliases=("myoChallengeRelocateP1-v0",))
+
+  # ---- Bimanual handover (MyoChallenge'24 BimanualEnvV1 role) ----
+  from myosuite_tpu.envs.challenge import BimanualEnv, TableTennisEnv
+
+  _BIMANUAL_SCENE = """
+    <geom name="start_pillar" type="box" pos="-0.38 -0.10 0.5"
+          size="0.09 0.09 0.5" contype="4" conaffinity="2"/>
+    <geom name="goal_pillar" type="box" pos="-0.38 0.35 0.5"
+          size="0.09 0.09 0.5" contype="4" conaffinity="2"/>
+    <body name="pros_base" pos="-0.38 0.62 1.1">
+      <joint name="pros_x" type="slide" axis="1 0 0" range="-0.25 0.25"
+             damping="8"/>
+      <joint name="pros_y" type="slide" axis="0 1 0" range="-0.45 0.1"
+             damping="8"/>
+      <joint name="pros_z" type="slide" axis="0 0 1" range="-0.2 0.2"
+             damping="8"/>
+      <geom name="pros_palm_geom" type="box" size="0.012 0.04 0.05"
+            mass="0.5" contype="1" conaffinity="2"/>
+      <site name="pros_palm" pos="0 -0.055 0" size="0.005"/>
+      <body name="pros_fin1" pos="0 -0.055 0.05">
+        <joint name="pros_grip1" type="slide" axis="0 0 -1"
+               range="0 0.045" damping="3"/>
+        <geom name="pros_pad1_geom" type="box" size="0.012 0.03 0.008"
+              mass="0.05" contype="1" conaffinity="2"
+              friction="1.2 0.01 0.0005"/>
+      </body>
+      <body name="pros_fin2" pos="0 -0.055 -0.05">
+        <joint name="pros_grip2" type="slide" axis="0 0 1"
+               range="0 0.045" damping="3"/>
+        <geom name="pros_pad2_geom" type="box" size="0.012 0.03 0.008"
+              mass="0.05" contype="1" conaffinity="2"
+              friction="1.2 0.01 0.0005"/>
+      </body>
+    </body>
+    <body name="object" pos="-0.38 -0.10 1.028">
+      <freejoint name="object_free"/>
+      <geom name="object_geom" type="box" size="0.027 0.027 0.027"
+            mass="0.1" contype="2" conaffinity="7"
+            friction="1 0.01 0.0005" solref="0.015 1" condim="3"/>
+      <site name="object_site" size="0.005"/>
+    </body>"""
+
+  _BIMANUAL_ACTS = """
+    <position name="pros_x_act" joint="pros_x" kp="300"
+              ctrlrange="-0.25 0.25"/>
+    <position name="pros_y_act" joint="pros_y" kp="300"
+              ctrlrange="-0.45 0.1"/>
+    <position name="pros_z_act" joint="pros_z" kp="300"
+              ctrlrange="-0.2 0.2"/>
+    <position name="pros_grip1_act" joint="pros_grip1" kp="120"
+              ctrlrange="0 0.045"/>
+    <position name="pros_grip2_act" joint="pros_grip2" kp="120"
+              ctrlrange="0 0.045"/>"""
+
+  def bimanual(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=builder.finalize_muscles(hand_mod.build_hand(
+            arm=True, extra_worldbody=_BIMANUAL_SCENE,
+            extra_actuators=_BIMANUAL_ACTS)),
+        max_episode_steps=250, proximity_th=0.17, drop_th=0.9,
+        lift_th=1.07, goal_center=(-0.38, 0.35, 1.05),
+        reward_weights=config_dict.create(
+            reach_dist=-0.1, act=0.0, fin_dis=-0.5, pass_err=-1.0),
+    ))
+    return BimanualEnv(cfg, overrides)
+
+  register("MtxBimanual-v0", bimanual,
+           aliases=("myoChallengeBimanual-v0",))
+
+  # ---- Table tennis (MyoChallenge'25 TableTennisEnvV0 role) ----
+  from myosuite_tpu.assets.editor import build_tabletennis_xml
+
+  def tabletennis(overrides=None):
+    cfg = base_env_config()
+    cfg.update(config_dict.create(
+        model_xml=build_tabletennis_xml(),
+        max_episode_steps=150,
+        reward_weights=config_dict.create(
+            reach_dist=1.0, palm_dist=1.0, paddle_quat=2.0, act_reg=0.5,
+            torso_up=2.0, sparse=100.0, solved=1000.0, done_pen=10.0),
+    ))
+    return TableTennisEnv(cfg, overrides)
+
+  register("MtxTableTennis-v0", tabletennis,
+           aliases=("myoChallengeTableTennisP1-v0",))
+
+  # ---- Elbow pose with exo assist + payload randomization ----
+  from myosuite_tpu.envs.pose import ElbowExoPoseEnv
+
+  def elbow_exo(overrides=None, fixed=False):
+    cfg = pose_config(elbow_xml, [0.0], [2.27], fixed_target=fixed,
+                      weight_range=(0.0, 2.0), exo_assist=0.6)
+    return ElbowExoPoseEnv(cfg, overrides)
+
+  register_with_variants(
+      "MtxElbowPoseExoRandom-v0", functools.partial(elbow_exo),
+      aliases=("myoElbowPose1D6MExoRandom-v0",))
+  register_with_variants(
+      "MtxElbowPoseExoFixed-v0", functools.partial(elbow_exo, fixed=True),
+      aliases=("myoElbowPose1D6MExoFixed-v0",))
 
   # reafferentation (tendon transfer EIP -> EPL), reference base_v0.py:104-108
   act_names = [_mj.mj_id2name(hand_mj, _mj.mjtObj.mjOBJ_ACTUATOR.value, i)

@@ -87,6 +87,15 @@ class Trace:
       with open(path, "wb") as f:
         pickle.dump(self.root, f)
       return
+    if path.endswith(".mtp"):
+      # native threaded sink (myosuite_tpu/native/tracepack.cpp): the
+      # serializer runs off the Python thread, unlike h5py gzip
+      from myosuite_tpu.native import TracePackWriter
+      with TracePackWriter(path) as w:
+        for gname, grp in self.trace.items():
+          for k, v in grp.items():
+            w.append(f"{gname}/{k}", np.asarray(v))
+      return
     with h5py.File(path, "w") as f:
       for gname, grp in self.trace.items():
         hgrp = f.create_group(gname)
@@ -101,6 +110,14 @@ class Trace:
         tr.root = pickle.load(f)
       tr.name = next(iter(tr.root))
       tr.trace = tr.root[tr.name]
+      return tr
+    if path.endswith(".mtp"):
+      from myosuite_tpu.native import read_tracepack
+      tr.trace = {}
+      for key, arr in read_tracepack(path).items():
+        gname, _, dname = key.partition("/")
+        tr.trace.setdefault(gname, {})[dname or "data"] = arr
+      tr.root = {tr.name: tr.trace}
       return tr
     with h5py.File(path, "r") as f:
       tr.trace = {}

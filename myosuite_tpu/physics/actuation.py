@@ -31,8 +31,11 @@ _TRN_PLANS = {}
 def _trn_plan(m: Model):
   """Static transmission tables: one-hot joint maps + tendon gathers."""
   key = id(m.collision_pairs)  # stable across replace()-randomized Models
-  if key in _TRN_PLANS:
-    return _TRN_PLANS[key]
+  # entries hold a strong ref to the keyed Static so its id cannot be
+  # recycled by GC for a different model (see types.plan_cache rationale)
+  hit = _TRN_PLANS.get(key)
+  if hit is not None and hit[0] is m.collision_pairs:
+    return hit[1]
   gear = np.asarray(jax.device_get(m.actuator_gear))
   # joint transmissions contribute a CONSTANT moment matrix
   joint_moment = np.zeros((m.nu, m.nv), dtype=np.float32)
@@ -58,7 +61,7 @@ def _trn_plan(m: Model):
     else:
       raise NotImplementedError(f"actuator transmission {trn} not supported")
   plan = (joint_moment, len_qmap, ten_gather, ten_scale)
-  _TRN_PLANS[key] = plan
+  _TRN_PLANS[key] = (m.collision_pairs, plan)
   return plan
 
 

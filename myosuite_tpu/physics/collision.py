@@ -311,8 +311,11 @@ def _col_plan(m: Model):
   # domain randomization pass step-time Models whose dynamic arrays are
   # tracers, but replace() shares the same Static collision_pairs object
   key = id(m.collision_pairs)
-  if key in _COL_PLANS:
-    return _COL_PLANS[key]
+  # entries hold a strong ref to the keyed Static so its id cannot be
+  # recycled by GC for a different model (see types.plan_cache rationale)
+  hit = _COL_PLANS.get(key)
+  if hit is not None and hit[0] is m.collision_pairs:
+    return hit[1]
 
   pairs = m.collision_pairs.arr
   geom_solref = np.asarray(jax.device_get(m.geom_solref))
@@ -364,7 +367,7 @@ def _col_plan(m: Model):
       slot_g2=np.array([x[3] for x in slot_meta], dtype=np.int32),
   )
   plan = (groups, meta, ncon)
-  _COL_PLANS[key] = plan
+  _COL_PLANS[key] = (m.collision_pairs, plan)
   return plan
 
 

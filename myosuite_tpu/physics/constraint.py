@@ -86,8 +86,11 @@ def _efc_plan(m: Model) -> _EfcPlan:
   # keyed on the static pair table (shared across replace()-randomized
   # Models, stable for the env's lifetime) — see collision._col_plan
   key = id(m.collision_pairs)
-  if key in _EFC_PLANS:
-    return _EFC_PLANS[key]
+  # entries hold a strong ref to the keyed Static so its id cannot be
+  # recycled by GC for a different model (see types.plan_cache rationale)
+  hit = _EFC_PLANS.get(key)
+  if hit is not None and hit[0] is m.collision_pairs:
+    return hit[1]
   floss = np.asarray(jax.device_get(m.dof_frictionloss))
   fr_dof = np.nonzero(floss > 0)[0].astype(np.int32)
   fr_jnt = np.asarray(m.dof_jntid)[fr_dof].astype(np.int32)
@@ -131,7 +134,7 @@ def _efc_plan(m: Model) -> _EfcPlan:
                   con_groups=tuple(con_groups), con_slots=con_slots,
                   nefc=n_fr + n_jlim + n_tlim + n_con_rows,
                   n_fr=n_fr, n_jlim=n_jlim, n_tlim=n_tlim)
-  _EFC_PLANS[key] = plan
+  _EFC_PLANS[key] = (m.collision_pairs, plan)
   return plan
 
 

@@ -103,15 +103,15 @@ def _integrate_act(m: Model, d: Data, h: float) -> jax.Array:
   if m.na == 0:
     return d.act
   act = d.act + h * d.act_dot
-  # muscles stay in [0, 1]; explicit actrange clamps apply when limited
+  # muscles stay in [0, 1]; explicit actrange clamps apply when limited.
+  # Index tables are static topology; clamp VALUES gather from the jnp
+  # actrange so the path stays valid when it is a tracer (vmapped
+  # domain randomization).
   dyntypes = np.asarray(m.actuator_dyntype)
   actadr = np.asarray(m.actuator_actadr)
   is_muscle_act = np.zeros(m.na, dtype=bool)
   limited = np.asarray(m.actuator_actlimited)
-  lo = np.zeros(m.na, dtype=np.float32)
-  hi = np.zeros(m.na, dtype=np.float32)
-  lim = np.zeros(m.na, dtype=bool)
-  actrange = np.asarray(jax.device_get(m.actuator_actrange))
+  lim_acts, lim_us = [], []
   for i in range(m.nu):
     adr = int(actadr[i])
     if adr < 0:
@@ -119,15 +119,14 @@ def _integrate_act(m: Model, d: Data, h: float) -> jax.Array:
     if dyntypes[i] == 4:  # MUSCLE
       is_muscle_act[adr] = True
     if limited[i]:
-      lim[adr] = True
-      lo[adr], hi[adr] = actrange[i]
+      lim_acts.append(adr)
+      lim_us.append(i)
   act = jnp.where(jnp.asarray(is_muscle_act), jnp.clip(act, 0.0, 1.0), act)
-  act = jnp.where(jnp.asarray(lim),
-                  jnp.clip(act, jnp.asarray(lo), jnp.asarray(hi)), act)
+  if lim_acts:
+    rng = m.actuator_actrange[jnp.asarray(lim_us, dtype=jnp.int32)]
+    idx = jnp.asarray(lim_acts, dtype=jnp.int32)
+    act = act.at[idx].set(jnp.clip(act[idx], rng[:, 0], rng[:, 1]))
   return act
-
-
-_QPOS_PLANS = {}
 
 
 def _qpos_plan(m: Model):
@@ -136,28 +135,25 @@ def _qpos_plan(m: Model):
   scatter; only quaternion entries (ball / free rotation) need per-joint
   manifold treatment. myo models are all-hinge/slide plus a few free object
   joints, so the python loop below is O(#quats), not O(njnt)."""
-  key = id(m.jnt_type)
-  if key in _QPOS_PLANS:
-    return _QPOS_PLANS[key]
-  lin_q, lin_v, quats = [], [], []
-  for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    vadr = int(m.jnt_dofadr[j])
-    if jtype == JointType.FREE:
-      lin_q += [qadr, qadr + 1, qadr + 2]
-      lin_v += [vadr, vadr + 1, vadr + 2]
-      quats.append((qadr + 3, vadr + 3))
-    elif jtype == JointType.BALL:
-      quats.append((qadr, vadr))
-    else:
-      lin_q.append(qadr)
-      lin_v.append(vadr)
-  plan = (np.asarray(lin_q, dtype=np.int32), np.asarray(lin_v,
-                                                        dtype=np.int32),
-          tuple(quats))
-  _QPOS_PLANS[key] = plan
-  return plan
+  def build():
+    lin_q, lin_v, quats = [], [], []
+    for j in range(m.njnt):
+      jtype = int(m.jnt_type[j])
+      qadr = int(m.jnt_qposadr[j])
+      vadr = int(m.jnt_dofadr[j])
+      if jtype == JointType.FREE:
+        lin_q += [qadr, qadr + 1, qadr + 2]
+        lin_v += [vadr, vadr + 1, vadr + 2]
+        quats.append((qadr + 3, vadr + 3))
+      elif jtype == JointType.BALL:
+        quats.append((qadr, vadr))
+      else:
+        lin_q.append(qadr)
+        lin_v.append(vadr)
+    return (np.asarray(lin_q, dtype=np.int32),
+            np.asarray(lin_v, dtype=np.int32), tuple(quats))
+  from myosuite_tpu.physics.types import plan_cache
+  return plan_cache(m.jnt_type, "qpos", build)
 
 
 def _integrate_qpos(m: Model, qpos: jax.Array, qvel: jax.Array,
@@ -180,8 +176,14 @@ def euler(m: Model, d: Data) -> Data:
   h = m.opt.timestep
   act = _integrate_act(m, d, h)
 
-  damping = np.asarray(jax.device_get(m.dof_damping))
-  if (damping > 0).any():
+  # static pruning only when damping is concrete; under vmapped domain
+  # randomization it is a tracer and the implicit branch must always run
+  if isinstance(m.dof_damping, jax.core.Tracer):
+    use_implicit = True
+  else:
+    use_implicit = bool(
+        (np.asarray(jax.device_get(m.dof_damping)) > 0).any())
+  if use_implicit:
     mh = d.qM + h * jnp.diag(m.dof_damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
     qacc = linalg.solve_pd(mh, rhs)

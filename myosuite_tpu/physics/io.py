@@ -219,7 +219,12 @@ def put_model(m: mujoco.MjModel) -> Model:
       actuator_forcerange=f32(m.actuator_forcerange),
       actuator_actrange=f32(m.actuator_actrange),
       actuator_gear=f32(m.actuator_gear),
-      actuator_acc0=f32(m.actuator_acc0),
+      # floor: a degenerate muscle path (constant length => acc0 ~ 0) would
+      # otherwise get F0 = scale/acc0 ~ 1e14, and float32 Jacobian noise
+      # times that force injects unbounded garbage torques. MuJoCo has the
+      # same failure mode; flooring bounds F0 at ~1e3*scale and makes the
+      # engine robust to bad models.
+      actuator_acc0=f32(np.maximum(m.actuator_acc0, 1e-3)),
       actuator_length0=f32(m.actuator_length0),
       actuator_lengthrange=f32(m.actuator_lengthrange),
       hfield_size=jnp.asarray(hf_size),

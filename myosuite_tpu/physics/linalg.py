@@ -30,19 +30,30 @@ _EPS = 1e-12
 def chol_factor(M: jax.Array) -> jax.Array:
   """Lower-triangular Cholesky factor of a PD matrix, statically unrolled.
 
-  Outer-product form: n steps, each one rank-1 downdate — all fused
-  elementwise under vmap. M: (n, n) -> L: (n, n) with M = L @ L.T.
+  Left-looking form: n steps, each computing one column from M and the
+  already-finished columns — all fused elementwise under vmap.
+  M: (n, n) -> L: (n, n) with M = L @ L.T.
+
+  A genuinely non-PD input (diverged mass matrix / Hessian) produces NaN
+  in the affected column, like jnp.linalg.cholesky, so physics blowups
+  surface as NaN state instead of silently-finite garbage. Pivots that
+  are only *slightly* negative relative to the matrix scale are float32
+  round-off (musculoskeletal mass matrices span ~1e6 in conditioning:
+  20 kg trunk vs 10 g fingertips) and are clamped, not poisoned.
   """
   n = M.shape[-1]
   L = jnp.zeros_like(M)
+  diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+  noise_floor = -1e-5 * jnp.max(jnp.abs(diag), axis=-1)
   for j in range(n):
-    # left-looking: column j from M and the already-computed columns < j.
     # Writes one column per step (O(n^2) total HBM traffic) instead of the
     # outer-product form's full-matrix downdate (O(n^3) traffic).
     s = M[..., j:, j]
     if j:
       s = s - jnp.einsum("...ik,...k->...i", L[..., j:, :j], L[..., j, :j])
-    djj = jnp.sqrt(jnp.maximum(s[..., 0], _EPS))
+    pivot = s[..., 0]
+    djj = jnp.where(pivot > noise_floor,
+                    jnp.sqrt(jnp.maximum(pivot, _EPS)), jnp.nan)
     L = L.at[..., j:, j].set(s / djj[..., None])
   return L
 

@@ -274,18 +274,32 @@ def solve_entry(is_friction: Tuple[bool, ...], iterations: int,
   The engine's step is written per-env and batched with jax.vmap at the
   trainer (SURVEY.md section 7 architecture); jax.custom_batching lets the
   solver swap in the whole-batch Pallas kernel at exactly that boundary.
+
+  Batches below one (8, 128) tile block — eval, debugging, single-env
+  rollouts — route to the XLA Newton instead of padding up to _BLOCK envs
+  (up to 1024x wasted compute); so do direct un-vmapped calls. The Pallas
+  path has no jvp/vjp rule: set MTX_DISABLE_PALLAS=1 to differentiate
+  through the solver via the XLA path.
   """
   from jax import custom_batching
 
+  from myosuite_tpu.physics import solver as _solver
+  from myosuite_tpu.physics.constraint import Efc
+
   kw = dict(is_friction=is_friction, iterations=iterations,
             ls_iterations=ls_iterations, interpret=interpret)
+  isfr_np = np.asarray(is_friction, dtype=bool)
+
+  def xla_single(qM, J, aref, R, floss, active, warm, a_smooth):
+    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
+              is_friction=isfr_np)
+    return _solver.newton_xla(qM, efc, warm, a_smooth, iterations,
+                              ls_iterations)
 
   @custom_batching.custom_vmap
   def f(qM, J, aref, R, floss, active, warm, a_smooth):
-    outs = solve_batched(qM[None], J[None], aref[None], R[None],
-                         floss[None], active[None], warm[None],
-                         a_smooth[None], **kw)
-    return tuple(o[0] for o in outs)
+    # un-vmapped call: a single env never pays for a padded kernel block
+    return xla_single(qM, J, aref, R, floss, active, warm, a_smooth)
 
   @f.def_vmap
   def _rule(axis_size, in_batched, qM, J, aref, R, floss, active, warm,
@@ -296,8 +310,11 @@ def solve_entry(is_friction: Tuple[bool, ...], iterations: int,
     args = [bcast(x, b) for x, b in
             zip((qM, J, aref, R, floss, active, warm, a_smooth),
                 in_batched)]
-    outs = solve_batched(*args, **kw)
-    return outs, (True, True, True)
+    if axis_size < _BLOCK:
+      outs = jax.vmap(xla_single)(*args)
+    else:
+      outs = solve_batched(*args, **kw)
+    return tuple(outs), (True, True, True)
 
   return f
 

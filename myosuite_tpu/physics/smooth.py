@@ -101,11 +101,15 @@ def passive(m: Model, d: Data) -> Data:
 
   # joint springs: generalized per joint type. Joints with zero stiffness
   # are skipped statically — most myo models have none, so the per-joint
-  # loop usually traces to nothing.
-  stiffness_np = np.asarray(jax.device_get(m.jnt_stiffness))
+  # loop usually traces to nothing. When jnt_stiffness is a tracer (vmapped
+  # domain randomization), no static pruning: every joint gets a spring term.
+  if isinstance(m.jnt_stiffness, jax.core.Tracer):
+    stiffness_np = None
+  else:
+    stiffness_np = np.asarray(jax.device_get(m.jnt_stiffness))
   spring = jnp.zeros(m.nv, dtype=dtype)
   for j in range(m.njnt):
-    if stiffness_np[j] == 0.0:
+    if stiffness_np is not None and stiffness_np[j] == 0.0:
       continue
     stiff = m.jnt_stiffness[j]
     qadr = int(m.jnt_qposadr[j])

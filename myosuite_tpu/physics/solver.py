@@ -66,6 +66,59 @@ def _use_pallas() -> bool:
     return False
 
 
+def newton_xla(qM: jax.Array, efc: Efc, warm: jax.Array,
+               a_smooth: jax.Array, iterations: int, ls_iterations: int
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Per-env Newton solve, pure XLA. Also the fallback the Pallas entry
+  uses for small batches and the reference semantics for its parity test."""
+
+  def total_cost(a):
+    jar = math.mm(efc.J, a) - efc.aref
+    da = a - a_smooth
+    return 0.5 * da @ math.mm(qM, da) + _cost(efc, jar)
+
+  # warmstart: previous qacc if it beats qacc_smooth
+  a0 = jnp.where(total_cost(warm) < total_cost(a_smooth), warm, a_smooth)
+
+  # Both loops are STATICALLY UNROLLED in python, never lax.scan: a scan
+  # whose body mixes dynamic-update-slices (the unrolled Cholesky) with the
+  # carry defeats XLA's fusion on TPU — measured in-graph, scan-of-6 Newton
+  # iterations costs 32.5 ms/substep vs 3.0 ms unrolled (batch 2048, myoHand,
+  # v5e). Iteration counts are small static config (6x6), so trace size
+  # stays modest.
+  nv = qM.shape[-1]
+  a = a0
+  for _ in range(int(iterations)):
+    jar = math.mm(efc.J, a) - efc.aref
+    force, w = _forces(efc, jar)
+    grad = math.mm(qM, a - a_smooth) - math.mm(efc.J.T, force)
+    hess = qM + math.mm(efc.J.T * w[None, :], efc.J)
+    hess = hess + _RIDGE * jnp.eye(nv, dtype=a.dtype)
+    p = -linalg.solve_pd(hess, grad)
+
+    # exact-ish linesearch: 1D Newton on alpha over the piecewise quadratic
+    jp = math.mm(efc.J, p)
+    mp = math.mm(qM, p)
+    g0 = p @ math.mm(qM, a - a_smooth)
+    pmp = p @ mp
+
+    alpha = jnp.float32(1.0)
+    for _ in range(int(ls_iterations)):
+      jar_a = jar + alpha * jp
+      force_a, w_a = _forces(efc, jar_a)
+      dphi = g0 + alpha * pmp - jnp.sum(force_a * jp)
+      ddphi = pmp + jnp.sum(w_a * jp * jp)
+      alpha = jnp.clip(alpha - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
+    a_new = a + alpha * p
+    # guard: keep the better point
+    a = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a)
+
+  jar = math.mm(efc.J, a) - efc.aref
+  force, _ = _forces(efc, jar)
+  qfrc_constraint = math.mm(efc.J.T, force)
+  return a, qfrc_constraint, force
+
+
 def solve(m: Model, d: Data,
           efc: Efc) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Returns (qacc, qfrc_constraint, efc_force)."""
@@ -81,50 +134,5 @@ def solve(m: Model, d: Data,
     return fn(d.qM, efc.J, efc.aref, efc.R, efc.floss,
               efc.active.astype(d.qpos.dtype), d.qacc, d.qacc_smooth)
 
-  a_smooth = d.qacc_smooth
-
-  def total_cost(a):
-    jar = math.mm(efc.J, a) - efc.aref
-    da = a - a_smooth
-    return 0.5 * da @ math.mm(d.qM, da) + _cost(efc, jar)
-
-  # warmstart: previous qacc if it beats qacc_smooth
-  a0 = jnp.where(total_cost(d.qacc) < total_cost(a_smooth),
-                 d.qacc, a_smooth)
-
-  # Both loops are STATICALLY UNROLLED in python, never lax.scan: a scan
-  # whose body mixes dynamic-update-slices (the unrolled Cholesky) with the
-  # carry defeats XLA's fusion on TPU — measured in-graph, scan-of-6 Newton
-  # iterations costs 32.5 ms/substep vs 3.0 ms unrolled (batch 2048, myoHand,
-  # v5e). Iteration counts are small static config (6x6), so trace size
-  # stays modest.
-  a = a0
-  for _ in range(int(m.opt.iterations)):
-    jar = math.mm(efc.J, a) - efc.aref
-    force, w = _forces(efc, jar)
-    grad = math.mm(d.qM, a - a_smooth) - math.mm(efc.J.T, force)
-    hess = d.qM + math.mm(efc.J.T * w[None, :], efc.J)
-    hess = hess + _RIDGE * jnp.eye(m.nv, dtype=a.dtype)
-    p = -linalg.solve_pd(hess, grad)
-
-    # exact-ish linesearch: 1D Newton on alpha over the piecewise quadratic
-    jp = math.mm(efc.J, p)
-    mp = math.mm(d.qM, p)
-    g0 = p @ math.mm(d.qM, a - a_smooth)
-    pmp = p @ mp
-
-    alpha = jnp.float32(1.0)
-    for _ in range(int(m.opt.ls_iterations)):
-      jar_a = jar + alpha * jp
-      force_a, w_a = _forces(efc, jar_a)
-      dphi = g0 + alpha * pmp - jnp.sum(force_a * jp)
-      ddphi = pmp + jnp.sum(w_a * jp * jp)
-      alpha = jnp.clip(alpha - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
-    a_new = a + alpha * p
-    # guard: keep the better point
-    a = jnp.where(total_cost(a_new) <= total_cost(a), a_new, a)
-
-  jar = math.mm(efc.J, a) - efc.aref
-  force, _ = _forces(efc, jar)
-  qfrc_constraint = math.mm(efc.J.T, force)
-  return a, qfrc_constraint, force
+  return newton_xla(d.qM, efc, d.qacc, d.qacc_smooth,
+                    int(m.opt.iterations), int(m.opt.ls_iterations))

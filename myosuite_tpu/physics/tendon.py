@@ -61,8 +61,11 @@ _PLANS = {}
 
 def _plan(m: Model) -> _Plan:
   key = id(m.collision_pairs)  # stable across replace()-randomized Models
-  if key in _PLANS:
-    return _PLANS[key]
+  # entries hold a strong ref to the keyed Static so its id cannot be
+  # recycled by GC for a different model (see types.plan_cache rationale)
+  hit = _PLANS.get(key)
+  if hit is not None and hit[0] is m.collision_pairs:
+    return hit[1]
 
   fixed_len_w = np.zeros((m.ntendon, m.nq), dtype=np.float32)
   fixed_jac_w = np.zeros((m.ntendon, m.nv), dtype=np.float32)
@@ -124,7 +127,7 @@ def _plan(m: Model) -> _Plan:
       wr_tid=wr_arr[:, 5].astype(np.int32),
       wr_div=wr_arr[:, 6].astype(np.float32),
   )
-  _PLANS[key] = plan
+  _PLANS[key] = (m.collision_pairs, plan)
   return plan
 
 

@@ -143,6 +143,29 @@ def static_field(**kwargs):
   return struct.field(pytree_node=False, **kwargs)
 
 
+_PLAN_CACHES: dict = {}
+
+
+def plan_cache(key_obj, tag: str, builder):
+  """Host-side plan cache keyed on a structural object's identity.
+
+  Plans (static index tables built from a Model's Static fields) are cached
+  per loaded model. Keying on id() alone is unsafe: if the keyed object is
+  garbage-collected, CPython may reuse its id for a different model's array
+  and silently serve a stale plan. Each entry therefore holds a strong
+  reference to the key object and verifies it with `is` — while an entry
+  lives, its id cannot be recycled.
+  """
+  cache = _PLAN_CACHES.setdefault(tag, {})
+  key = id(key_obj)
+  hit = cache.get(key)
+  if hit is not None and hit[0] is key_obj:
+    return hit[1]
+  plan = builder()
+  cache[key] = (key_obj, plan)
+  return plan
+
+
 @struct.dataclass
 class Option:
   """Simulation options (subset of mjOption that the myo suite exercises)."""

@@ -1,1 +1,2 @@
-from myosuite_tpu.renderer.renderer import Renderer, render_rollout
+from myosuite_tpu.renderer.renderer import (Renderer, render_qpos_sequence,
+                                            render_rollout)

@@ -68,3 +68,22 @@ def render_rollout(env, datas: Iterable, path: str, fps: int = 50,
   r.close()
   imageio.mimsave(path, frames, fps=fps)
   return path
+
+
+def render_qpos_sequence(env, qpos_seq: np.ndarray, path: str, fps: int = 50,
+                         camera: Optional[str] = None) -> str:
+  """Render a (T, nq) qpos sequence to an mp4 (examine_logs render mode,
+  /root/reference/myosuite/logger/examine_logs.py render path)."""
+  import imageio
+
+  r = Renderer(env)
+  frames: List[np.ndarray] = []
+  for t in range(qpos_seq.shape[0]):
+    r._mj_data.qpos[:] = np.asarray(qpos_seq[t], dtype=np.float64)
+    mujoco.mj_forward(r._mj_model, r._mj_data)
+    r._renderer.update_scene(
+        r._mj_data, camera=camera if camera is not None else -1)
+    frames.append(r._renderer.render())
+  r.close()
+  imageio.mimsave(path, frames, fps=fps)
+  return path

@@ -1,1 +1,2 @@
-from myosuite_tpu.robot.robot import Robot, SensorSpec
+from myosuite_tpu.robot.robot import (Robot, SensorCache, SensorSpec,
+                                      sensor2sim)

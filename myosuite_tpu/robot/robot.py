@@ -94,6 +94,49 @@ class Robot:
     return out
 
 
+class SensorCache:
+  """Fixed-depth history of timestamped sensor dicts (the reference keeps
+  a deque of 5, robot.py sensor cache). Host-side helper for hardware
+  loops and sensor-delay emulation."""
+
+  def __init__(self, depth: int = 5):
+    from collections import deque
+    self._buf = deque(maxlen=depth)
+
+  def append(self, sensors: Dict[str, np.ndarray]) -> None:
+    self._buf.append(sensors)
+
+  def latest(self) -> Optional[Dict[str, np.ndarray]]:
+    return self._buf[-1] if self._buf else None
+
+  def delayed(self, steps: int) -> Optional[Dict[str, np.ndarray]]:
+    """Sensor reading `steps` control periods ago (clamped to history)."""
+    if not self._buf:
+      return None
+    idx = max(-len(self._buf), -(steps + 1))
+    return self._buf[idx]
+
+  def __len__(self):
+    return len(self._buf)
+
+
+def sensor2sim(model: Model, data: Data,
+               sensors: Dict[str, jax.Array]) -> Data:
+  """Write (possibly noisy/delayed) sensors into an observed Data — the
+  reference's partial-observability path (robot.sensor2sim writes sensors
+  into the obsd sim then mj_forward's it, robot.py:575-607). Returns a
+  Data whose kinematic quantities are re-derived from the sensor state;
+  task get_obs code then reads the OBSERVED state, not ground truth."""
+  from myosuite_tpu.physics import forward as F
+
+  d = data.replace(qpos=sensors["qpos"], qvel=sensors["qvel"])
+  if "act" in sensors and model.na:
+    d = d.replace(act=sensors["act"])
+  d = F.fwd_position(model, d)
+  d = F.fwd_velocity(model, d)
+  return d
+
+
 class HardwareDriver(Protocol):
   """Integration surface for physical hardware (reference robot.py:129-186
   lazily imports dynamixel/optitrack/franka/realsense/robotiq drivers;

@@ -271,8 +271,12 @@ class PPO:
 
 
 def train(env: MyoEnv, config: Optional[config_dict.ConfigDict] = None,
-          progress_fn: Optional[Callable[[int, Dict], None]] = None):
-  """Convenience training loop (reference train_jax_ppo.py equivalent)."""
+          progress_fn: Optional[Callable[[int, Dict], None]] = None,
+          callbacks=()):
+  """Convenience training loop (reference train_jax_ppo.py equivalent).
+
+  `callbacks`: train.callbacks.Callback instances invoked after every
+  outer iteration (the reference's SB3 in_callbacks role)."""
   ppo = PPO(env, config)
   cfg = ppo.cfg
   ts = ppo.init(jax.random.PRNGKey(cfg.seed))
@@ -286,8 +290,11 @@ def train(env: MyoEnv, config: Optional[config_dict.ConfigDict] = None,
   for it in range(cfg.num_evals):
     ts, metrics = train_fn(ts)
     metrics = jax.device_get(metrics)
+    env_steps = int(jax.device_get(ts.env_steps))
     if progress_fn:
-      progress_fn(int(jax.device_get(ts.env_steps)), metrics)
+      progress_fn(env_steps, metrics)
+    for cb in callbacks:
+      cb.on_iteration(it, env_steps, metrics, ppo, ts)
   wall = time.time() - t0
   return ppo, ts, {"wall_clock": wall,
                    "steps": int(jax.device_get(ts.env_steps))}

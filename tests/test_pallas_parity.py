@@ -1,0 +1,106 @@
+"""Pallas Newton-solver kernel vs XLA reference solver, on CPU.
+
+The fused TPU kernel (physics/pallas_solver.py) is the default solve path
+on TPU but is invisible to the CPU-pinned test suite; this runs the SAME
+kernel in Pallas interpret mode against solver.newton_xla on synthetic
+constraint systems so an edit to the kernel cannot silently diverge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myosuite_tpu.physics import pallas_solver, solver
+from myosuite_tpu.physics.constraint import Efc
+
+
+def _random_system(rng: np.random.Generator, nv: int, nefc: int,
+                   n_friction: int):
+  A = rng.standard_normal((nv, nv)).astype(np.float32)
+  qM = A @ A.T + 2.0 * np.eye(nv, dtype=np.float32)
+  J = rng.standard_normal((nefc, nv)).astype(np.float32)
+  aref = rng.standard_normal(nefc).astype(np.float32)
+  R = (0.1 + rng.random(nefc)).astype(np.float32)
+  floss = np.zeros(nefc, dtype=np.float32)
+  floss[:n_friction] = 0.5 + rng.random(n_friction)
+  active = np.ones(nefc, dtype=np.float32)
+  active[n_friction:] = (rng.random(nefc - n_friction) > 0.3)
+  warm = rng.standard_normal(nv).astype(np.float32)
+  a_smooth = rng.standard_normal(nv).astype(np.float32)
+  return qM, J, aref, R, floss, active, warm, a_smooth
+
+
+@pytest.mark.parametrize("batch", [5, 37])
+def test_pallas_kernel_matches_xla(batch):
+  nv, nefc, n_fr = 5, 9, 3
+  rng = np.random.default_rng(0)
+  args = [np.stack(x) for x in zip(
+      *[_random_system(rng, nv, nefc, n_fr) for _ in range(batch)])]
+  args = [jnp.asarray(a) for a in args]
+
+  is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
+  qacc_p, qfrc_p, force_p = pallas_solver.solve_batched(
+      *args, is_friction=is_friction, iterations=6, ls_iterations=6,
+      interpret=True)
+
+  isfr_np = np.asarray(is_friction)
+
+  def xla_one(qM, J, aref, R, floss, active, warm, a_smooth):
+    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
+              is_friction=isfr_np)
+    return solver.newton_xla(qM, efc, warm, a_smooth, 6, 6)
+
+  qacc_x, qfrc_x, force_x = jax.vmap(xla_one)(*args)
+
+  np.testing.assert_allclose(qacc_p, qacc_x, rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(qfrc_p, qfrc_x, rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(force_p, force_x, rtol=1e-4, atol=1e-4)
+
+
+def test_solve_entry_small_batch_uses_xla():
+  """vmap of the custom_vmap entry below one kernel block must not pad to
+  1024 envs: it routes to the XLA path, so interpret=False still works on
+  CPU and results match the direct XLA solve."""
+  nv, nefc, n_fr = 4, 6, 2
+  batch = 8
+  rng = np.random.default_rng(1)
+  args = [np.stack(x) for x in zip(
+      *[_random_system(rng, nv, nefc, n_fr) for _ in range(batch)])]
+  args = [jnp.asarray(a) for a in args]
+
+  is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
+  entry = pallas_solver.solve_entry(is_friction, 6, 6)
+  qacc_e, _, _ = jax.jit(jax.vmap(entry))(*args)
+
+  isfr_np = np.asarray(is_friction)
+
+  def xla_one(qM, J, aref, R, floss, active, warm, a_smooth):
+    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
+              is_friction=isfr_np)
+    return solver.newton_xla(qM, efc, warm, a_smooth, 6, 6)
+
+  qacc_x, _, _ = jax.vmap(xla_one)(*args)
+  np.testing.assert_allclose(qacc_e, qacc_x, rtol=1e-5, atol=1e-5)
+
+
+def test_solve_entry_unbatched_no_padding():
+  nv, nefc, n_fr = 4, 6, 2
+  rng = np.random.default_rng(2)
+  args = [jnp.asarray(a) for a in _random_system(rng, nv, nefc, n_fr)]
+  is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
+  entry = pallas_solver.solve_entry(is_friction, 6, 6)
+  qacc, qfrc, force = jax.jit(entry)(*args)
+  assert qacc.shape == (nv,) and force.shape == (nefc,)
+  assert np.isfinite(np.asarray(qacc)).all()
+
+
+def test_chol_factor_nan_on_non_pd():
+  """Non-PD input must surface as NaN, not silently-finite garbage."""
+  from myosuite_tpu.physics import linalg
+  M = jnp.asarray(np.diag([1.0, -2.0, 3.0]).astype(np.float32))
+  L = linalg.chol_factor(M)
+  assert np.isnan(np.asarray(L)[1:, 1]).all()
+  # PD input stays NaN-free
+  Mpd = jnp.asarray(np.diag([1.0, 2.0, 3.0]).astype(np.float32))
+  assert np.isfinite(np.asarray(linalg.chol_factor(Mpd))).all()
