@@ -19,7 +19,14 @@ import sys
 import time
 import timeit
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mtx_jax_cache")
+import jax
+
+from myosuite_tpu.utils import jax_cache_dir
+
+# machine-keyed cache: cross-machine XLA:CPU AOT entries execute wrong
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+  jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def measure(env_name: str = "MtxElbowPoseRandom-v0",

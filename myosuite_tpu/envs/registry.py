@@ -67,13 +67,21 @@ def reach_config(model_xml: str, target_sites, target_lo, target_hi,
 
 _REGISTRY: Dict[str, Callable[[], Any]] = {}
 _ALIASES: Dict[str, str] = {}
+_SUITES: Dict[str, str] = {}
 
 
 def register(name: str, factory: Callable[[Optional[Dict]], Any],
-             aliases=()) -> None:
+             aliases=(), suite: str = "myobase") -> None:
   _REGISTRY[name] = factory
+  _SUITES[name] = suite
   for a in aliases:
     _ALIASES[a] = name
+
+
+def suite_of(name: str) -> str:
+  """Which suite an env id belongs to (the reference's registry-diff
+  suite bookkeeping, /root/reference/myosuite/__init__.py:27-67)."""
+  return _SUITES.get(resolve(name), "myobase")
 
 
 def registered_envs():
@@ -150,7 +158,8 @@ def make(name: str, config_overrides: Optional[Dict[str, Any]] = None):
 # ---------------------------------------------------------------------------
 
 
-def register_with_variants(name: str, factory, aliases=()) -> None:
+def register_with_variants(name: str, factory, aliases=(),
+                           suite: str = "myobase") -> None:
   """Register a base env plus Fati/Sarc muscle-condition variants.
 
   Mirrors the reference's auto-registration of muscle conditions for every
@@ -158,7 +167,7 @@ def register_with_variants(name: str, factory, aliases=()) -> None:
   mjx registry MjxFati* prefixes, myo_registry.py:54-90)."""
   from myosuite_tpu.envs.fatigue import FatigueWrapper
 
-  register(name, factory, aliases)
+  register(name, factory, aliases, suite=suite)
   assert name.startswith("Mtx")
   suffix = name[len("Mtx"):]
 
@@ -171,9 +180,11 @@ def register_with_variants(name: str, factory, aliases=()) -> None:
     return factory(ov)
 
   register(f"MtxFati{suffix}", fati_factory,
-           aliases=tuple(_variant_alias(a, "Fati") for a in aliases))
+           aliases=tuple(_variant_alias(a, "Fati") for a in aliases),
+           suite=suite)
   register(f"MtxSarc{suffix}", sarc_factory,
-           aliases=tuple(_variant_alias(a, "Sarc") for a in aliases))
+           aliases=tuple(_variant_alias(a, "Sarc") for a in aliases),
+           suite=suite)
 
 
 def _variant_alias(alias: str, tag: str) -> str:
@@ -450,7 +461,7 @@ def _register_all():
     return TrackEnv(cfg, overrides, reference=ref)
 
   register_with_variants("MtxFingerTrackCyclic-v0", track_finger,
-                         aliases=("myoDmFingerTrack-v0",))
+                         aliases=("myoDmFingerTrack-v0",), suite="myodm")
 
   def track_hand(overrides=None):
     cfg = base_env_config()
@@ -464,7 +475,7 @@ def _register_all():
     return TrackEnv(cfg, overrides, reference=ref)
 
   register_with_variants("MtxHandTrackCyclic-v0", track_hand,
-                         aliases=("myoDmHandTrack-v0",))
+                         aliases=("myoDmHandTrack-v0",), suite="myodm")
 
   # ---- ASL hand postures (reference registers 10 ASL pose targets,
   # myobase/__init__.py:327-394) ----
@@ -548,10 +559,10 @@ def _register_all():
 
   register_with_variants(
       "MtxArmReachRandom-v0", functools.partial(arm_reach),
-      aliases=("myoArmReachRandom-v0",))
+      aliases=("myoArmReachRandom-v0",), suite="myoedits")
   register_with_variants(
       "MtxArmReachFixed-v0", functools.partial(arm_reach, fixed=True),
-      aliases=("myoArmReachFixed-v0",))
+      aliases=("myoArmReachFixed-v0",), suite="myoedits")
 
   # ---- myoArm pose (27 DoF / 63 muscles full arm+hand) ----
   arm_xml = builder.finalize_muscles(hand_mod.build_hand(arm=True))
@@ -595,9 +606,9 @@ def _register_all():
     return ChaseTagEnv(cfg, overrides)
 
   register("MtxChaseTag-v0", functools.partial(chasetag),
-           aliases=("myoChallengeChaseTagP1-v0",))
+           aliases=("myoChallengeChaseTagP1-v0",), suite="myochal")
   register("MtxChaseTagEvade-v0", functools.partial(chasetag, role="evade"),
-           aliases=("myoChallengeChaseTagP2-v0",))
+           aliases=("myoChallengeChaseTagP2-v0",), suite="myochal")
 
   _SOCCER_SCENE = """
     <body name="ball" pos="0.6 0 0.12">
@@ -631,7 +642,8 @@ def _register_all():
     ))
     return SoccerEnv(cfg, overrides)
 
-  register("MtxSoccer-v0", soccer, aliases=("myoChallengeSoccerP1-v0",))
+  register("MtxSoccer-v0", soccer, aliases=("myoChallengeSoccerP1-v0",),
+           suite="myochal")
 
   def runtrack(overrides=None):
     cfg = base_env_config()
@@ -647,7 +659,8 @@ def _register_all():
     return RunTrackEnv(cfg, overrides)
 
   register("MtxRunTrack-v0", runtrack,
-           aliases=("myoChallengeRunTrackP1-v0", "myoChallengeOslRunFixed-v0"))
+           aliases=("myoChallengeRunTrackP1-v0", "myoChallengeOslRunFixed-v0"),
+           suite="myochal")
 
   def relocate(overrides=None):
     cfg = base_env_config()
@@ -663,7 +676,7 @@ def _register_all():
     return RelocateEnv(cfg, overrides)
 
   register("MtxRelocate-v0", relocate,
-           aliases=("myoChallengeRelocateP1-v0",))
+           aliases=("myoChallengeRelocateP1-v0",), suite="myochal")
 
   # ---- Bimanual handover (MyoChallenge'24 BimanualEnvV1 role) ----
   from myosuite_tpu.envs.challenge import BimanualEnv, TableTennisEnv
@@ -732,7 +745,7 @@ def _register_all():
     return BimanualEnv(cfg, overrides)
 
   register("MtxBimanual-v0", bimanual,
-           aliases=("myoChallengeBimanual-v0",))
+           aliases=("myoChallengeBimanual-v0",), suite="myochal")
 
   # ---- Table tennis (MyoChallenge'25 TableTennisEnvV0 role) ----
   from myosuite_tpu.assets.editor import build_tabletennis_xml
@@ -749,7 +762,7 @@ def _register_all():
     return TableTennisEnv(cfg, overrides)
 
   register("MtxTableTennis-v0", tabletennis,
-           aliases=("myoChallengeTableTennisP1-v0",))
+           aliases=("myoChallengeTableTennisP1-v0",), suite="myochal")
 
   # ---- Elbow pose with exo assist + payload randomization ----
   from myosuite_tpu.envs.pose import ElbowExoPoseEnv
@@ -780,7 +793,8 @@ def _register_all():
   # ---- MyoDM suite: hand+object tracking over the 50 GRAB objects ----
   # (~90 track tasks + 100 Fixed/Random object envs, envs/myodm.py)
   from myosuite_tpu.envs import myodm as myodm_mod
-  myodm_mod.register_all(register)
+  myodm_mod.register_all(
+      functools.partial(register, suite="myodm"))
 
 
 _register_all()

@@ -6,7 +6,14 @@ required for sharding tests (xla_force_host_platform_device_count).
 Must run before the first jax import.
 """
 
+import gc
 import os
+
+# The suite keeps hundreds of jitted graphs + cached envs alive (registry
+# lru_cache); CPython gen-2 collections over that object graph during a
+# large trace go pathological (observed: a torso step that compiles in
+# 20 s in a fresh process taking >70 min mid-suite). RAM is plentiful.
+gc.disable()
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The axon TPU-tunnel sitecustomize registers its PJRT plugin (and reads
@@ -33,8 +40,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 
 # Persistent compilation cache: physics pipelines are expensive to compile
-# and identical across test runs.
+# and identical across test runs. The directory is keyed on the host CPU
+# features — entries from a different machine load as mismatched XLA:CPU
+# AOT blobs that can execute incorrectly (observed: jitted steps spinning
+# forever on poisoned hits).
 import jax
+
+from myosuite_tpu.utils import jax_cache_dir
+
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/mtx_jax_cache")
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

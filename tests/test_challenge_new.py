@@ -1,5 +1,11 @@
-"""Smoke tests for the Bimanual and TableTennis challenge envs (heavier
-compiles: full myoArm scenes)."""
+"""Smoke tests for the Bimanual and TableTennis challenge envs.
+
+Gated behind MTX_TEST=FULL: the full-myoArm scenes take tens of minutes
+to compile on the CPU backend (XLA:CPU LLVM codegen of the unrolled
+step), while the TPU backend compiles them in ~90 s — they are exercised
+on real TPU by the verify recipe (.claude/skills/verify)."""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -7,6 +13,10 @@ import numpy as np
 import pytest
 
 import myosuite_tpu
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("MTX_TEST", "LITE").upper() != "FULL",
+    reason="heavy CPU compile; run with MTX_TEST=FULL or on TPU")
 
 
 def _smoke(name, steps=2):

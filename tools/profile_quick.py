@@ -1,6 +1,13 @@
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import os, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mtx_jax_cache")
+import jax
+
+from myosuite_tpu.utils import jax_cache_dir
+
+# machine-keyed cache: cross-machine XLA:CPU AOT entries execute wrong
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+  jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax, jax.numpy as jnp
 import myosuite_tpu
 from myosuite_tpu.physics import forward as F

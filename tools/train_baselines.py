@@ -1,0 +1,67 @@
+"""Train and save the pre-trained baseline checkpoints shipped in
+myosuite_tpu/agents/pretrained/ (the reference ships NPG policy pickles
+per env, /root/reference/myosuite/agents/baslines_NPG/).
+
+Run on the TPU chip:
+  python tools/train_baselines.py --envs MtxElbowPoseRandom-v0 \
+      --num_timesteps 4000000
+"""
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import argparse
+import json
+import os
+
+import jax
+
+from myosuite_tpu.utils import jax_cache_dir
+
+# machine-keyed cache: cross-machine XLA:CPU AOT entries execute wrong
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+  jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--envs", nargs="+", default=["MtxElbowPoseRandom-v0",
+                                               "MtxFingerPoseRandom-v0"])
+  p.add_argument("--num_timesteps", type=int, default=4_000_000)
+  p.add_argument("--num_envs", type=int, default=2048)
+  p.add_argument("--out", default=None)
+  args = p.parse_args()
+
+  import jax
+
+  import myosuite_tpu
+  from myosuite_tpu.train import callbacks as cb
+  from myosuite_tpu.train import checkpoint
+  from myosuite_tpu.train import ppo as ppo_mod
+
+  root = args.out or os.path.join(
+      os.path.dirname(__file__), "..", "myosuite_tpu", "agents", "pretrained")
+  summary = {}
+  for env_name in args.envs:
+    print(f"=== training {env_name}", flush=True)
+    env = myosuite_tpu.make(env_name)
+    cfg = ppo_mod.default_config()
+    cfg.num_timesteps = args.num_timesteps
+    cfg.num_envs = args.num_envs
+    cfg.num_evals = 10
+    eval_cb = cb.EvalCallback(env, num_episodes=16, every=9)
+    ppo, ts, stats = ppo_mod.train(
+        env, cfg, callbacks=[cb.InfoCallback(), eval_cb])
+    out = os.path.abspath(os.path.join(root, env_name.replace("-", "_")))
+    checkpoint.save(out, ts, step=stats["steps"])
+    summary[env_name] = {
+        "steps": stats["steps"], "wall_clock": stats["wall_clock"],
+        "final_eval": eval_cb.history[-1] if eval_cb.history else None}
+    print(json.dumps(summary[env_name]), flush=True)
+  with open(os.path.join(root, "summary.json"), "w") as f:
+    json.dump(summary, f, indent=2)
+  print(json.dumps(summary, indent=2))
+  os._exit(0)
+
+
+if __name__ == "__main__":
+  main()
