@@ -83,13 +83,28 @@ def measure(env_name: str = "MtxElbowPoseRandom-v0",
 def main():
   import jax
   n_dev = jax.device_count()
-  env_name = os.environ.get("MTX_BENCH_ENV", "MtxElbowPoseRandom-v0")
-  print(f"benchmarking {env_name} on {jax.devices()}", file=sys.stderr)
-  results = measure(env_name)
-  best = max(results.values())
+  # Headline env: the myoHand task the BASELINE.md target names. Sweep the
+  # reference harness's other envs too (mjx_benchmark.py:26-33) unless
+  # MTX_BENCH_ENV pins a single env.
+  env_name = os.environ.get("MTX_BENCH_ENV", "MtxHandReachRandom-v0")
+  sweep = [env_name]
+  if "MTX_BENCH_ENV" not in os.environ and not os.environ.get(
+      "MTX_BENCH_FAST"):
+    sweep += ["MtxElbowPoseRandom-v0", "MtxFingerPoseRandom-v0"]
   target = 1_000_000 * n_dev / 8.0   # pro-rata share of the v5e-8 target
+  headline = None
+  for name in sweep:
+    print(f"benchmarking {name} on {jax.devices()}", file=sys.stderr)
+    results = measure(name)
+    best = max(results.values())
+    if headline is None:   # first env (the myoHand task) is the headline
+      headline = (name, best)
+    else:
+      print(f"  [{name}] best {best:,.0f} steps/s "
+            f"(vs_baseline {best / target:.2f})", file=sys.stderr)
+  name, best = headline
   print(json.dumps({
-      "metric": f"env_steps_per_sec[{env_name}]",
+      "metric": f"env_steps_per_sec[{name}]",
       "value": round(best, 1),
       "unit": "steps/s",
       "vs_baseline": round(best / target, 4),

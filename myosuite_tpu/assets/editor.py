@@ -84,9 +84,11 @@ def edit_fn_tabletennis(spec: mujoco.MjSpec) -> None:
   contact-slot table stays small.
   """
   palm = spec.body("palm")
+  # masks: only the ball (contype=16) initiates pairs; paddle/table/net
+  # respond (conaffinity=16) but never pair with each other (contype=0)
   palm.add_geom(name="paddle_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
                 pos=[0, 0.002, -0.16], size=[0.012, 0.08, 0.085],
-                mass=0.17, contype=8, conaffinity=8)
+                mass=0.17, contype=0, conaffinity=16)
   palm.add_site(name="paddle_center", pos=[0, 0.002, -0.16],
                 size=[0.005, 0, 0])
 
@@ -94,15 +96,15 @@ def edit_fn_tabletennis(spec: mujoco.MjSpec) -> None:
   # table: two halves + net, agent side near x=-0.45
   world.add_geom(name="table_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
                  pos=[-1.3, 0.0, 0.86], size=[0.9, 0.78, 0.02],
-                 contype=4, conaffinity=8)
+                 contype=0, conaffinity=16)
   world.add_geom(name="net_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
                  pos=[-1.3, 0.0, 0.95], size=[0.01, 0.78, 0.08],
-                 contype=4, conaffinity=8)
+                 contype=0, conaffinity=16)
   ball = world.add_body(name="pingpong", pos=[-2.0, 0.0, 1.2])
   ball.add_joint(name="ball_free", type=mujoco.mjtJoint.mjJNT_FREE,
                  limited=False, damping=0.0, armature=0.0)
   ball.add_geom(name="ball_geom", type=mujoco.mjtGeom.mjGEOM_SPHERE,
-                size=[0.02, 0, 0], mass=0.0027, contype=8, conaffinity=12,
+                size=[0.02, 0, 0], mass=0.0027, contype=16, conaffinity=0,
                 solref=[0.01, 0.6])
   ball.add_site(name="ball_site", size=[0.004, 0, 0])
 

@@ -572,8 +572,16 @@ class BimanualEnv(MyoEnv):
     pros = [g for g, n in enumerate(names) if n.startswith("pros_")]
     start = _geom_ids(mj, ["start_pillar"])
     goal = _geom_ids(mj, ["goal_pillar"])
+    # myo = hand geoms (non-world bodies that aren't prosthesis/object);
+    # env = static world geoms (table/floor) minus the labeled pillars, so
+    # the env channel stays object-centric (reference touching_body labels,
+    # bimanual_v0.py:173) instead of absorbing non-object contacts.
     myo = [g for g in range(mj.ngeom)
-           if g != obj_geom and g not in pros + start + goal]
+           if g != obj_geom and g not in pros + start + goal
+           and int(mj.geom_bodyid[g]) != 0]
+    env_grp = [g for g in range(mj.ngeom)
+               if g != obj_geom and g not in pros + start + goal
+               and int(mj.geom_bodyid[g]) == 0]
 
     def obj_vs(group):
       ids = set(group)
@@ -585,7 +593,7 @@ class BimanualEnv(MyoEnv):
         mask.extend([1.0 if pair_hit else 0.0] * int(p[2]))
       return jnp.asarray(np.array(mask, dtype=np.float32))
 
-    self._touch_masks = [obj_vs(g) for g in (myo, pros, start, goal)]
+    self._touch_masks = [obj_vs(g) for g in (myo, pros, start, goal, env_grp)]
     # robotic (non-muscle) actuators get a linear ctrlrange map instead of
     # the muscle sigmoid (reference tabletennis_v0.py step(); MPL analog)
     self._robotic = jnp.asarray(
@@ -623,12 +631,11 @@ class BimanualEnv(MyoEnv):
                  {"solved": zero, "lifted": zero}, info)
 
   def _touching_body(self, data: Data) -> jax.Array:
-    """5-dim contact-label vector [myo, prosth, start, goal, env]."""
+    """5-dim contact-label vector [myo, prosth, start, goal, env]; every
+    channel counts contacts of the *object* vs that group (object-centric,
+    like the reference's touching_body, bimanual_v0.py:173)."""
     active = (data.contact_force > 0.0).astype(jnp.float32)
-    counts = [jnp.dot(mask, active) for mask in self._touch_masks]
-    env_count = jnp.maximum(
-        jnp.sum(active) - sum(counts), 0.0)
-    return jnp.stack(counts + [env_count])
+    return jnp.stack([jnp.dot(mask, active) for mask in self._touch_masks])
 
   def _get_obs(self, data: Data, info) -> Dict[str, jax.Array]:
     dt = self._config.sim_dt

@@ -129,10 +129,18 @@ def register_env_variant(env_id: str, variants: Dict[str, Any],
       cur[parts[-1]] = v
     return out
 
+  def deep_merge(dst: Dict[str, Any], src: Dict[str, Any]) -> Dict[str, Any]:
+    for k, v in src.items():
+      if isinstance(v, dict) and isinstance(dst.get(k), dict):
+        deep_merge(dst[k], v)
+      else:
+        dst[k] = v
+    return dst
+
   def factory(overrides=None):
     merged = nest(variants)
     if overrides:
-      merged.update(overrides)
+      deep_merge(merged, dict(overrides))
     return base_factory(merged)
 
   register(variant_id, factory)

@@ -107,8 +107,12 @@ int mtp_append(void* handle, const char* name, uint8_t dtype, int ndim,
   std::memcpy(rec.payload.data(), data, nbytes);
   {
     std::unique_lock<std::mutex> lk(s->mu);
+    // An oversized record (> max_queued_bytes) is admitted alone once the
+    // queue drains — otherwise the bound could never be satisfied and the
+    // writer, having drained, would never signal again (deadlock).
     s->cv_pop.wait(lk, [&] {
-      return s->queued_bytes + nbytes <= s->max_queued_bytes;
+      return s->closing || s->queue.empty() ||
+             s->queued_bytes + nbytes <= s->max_queued_bytes;
     });
     if (s->closing) return -2;
     s->queued_bytes += nbytes;
@@ -127,6 +131,7 @@ uint64_t mtp_close(void* handle) {
     s->closing = true;
   }
   s->cv_push.notify_all();
+  s->cv_pop.notify_all();  // release any producer blocked on backpressure
   s->writer.join();
   fclose(s->f);
   uint64_t n = s->records_written;

@@ -197,6 +197,157 @@ def _box_box(p1, m1, s1, p2, m2, s2):
   return dist, pos, n
 
 
+# ---- convex mesh kernels -----------------------------------------------
+# TPU-native mesh contacts (reference role: the die / GRAB objects are
+# mesh geoms, /root/reference/myosuite/envs/myo/myochallenge/reorient_v0.py:15,
+# myodm/__init__.py:49-70). Instead of MuJoCo's MPR/libccd (branchy,
+# data-dependent iteration), every query reduces to closest-point-on-
+# triangle evaluated over ALL faces in one vmapped batch — exact for
+# convex meshes, static shapes, fuses across the env batch. Mesh topology
+# is baked per kernel closure (like the hfield kernels), so each distinct
+# mesh compiles one kernel class.
+
+
+def _closest_on_tri(p, a, b, c):
+  """Branchless closest point on triangle abc to p (Ericson 5.1.5)."""
+  ab = b - a
+  ac = c - a
+  ap = p - a
+  d1 = jnp.dot(ab, ap)
+  d2 = jnp.dot(ac, ap)
+  bp = p - b
+  d3 = jnp.dot(ab, bp)
+  d4 = jnp.dot(ac, bp)
+  cp = p - c
+  d5 = jnp.dot(ab, cp)
+  d6 = jnp.dot(ac, cp)
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+
+  # face interior
+  denom = jnp.maximum(va + vb + vc, _EPS)
+  pt = a + (vb / denom) * ab + (vc / denom) * ac
+  # edge BC
+  t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), _EPS)
+  on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+  pt = jnp.where(on_bc, b + t_bc * (c - b), pt)
+  # edge AC
+  t_ac = d2 / jnp.maximum(d2 - d6, _EPS)
+  on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+  pt = jnp.where(on_ac, a + t_ac * ac, pt)
+  # edge AB
+  t_ab = d1 / jnp.maximum(d1 - d3, _EPS)
+  on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+  pt = jnp.where(on_ab, a + t_ab * ab, pt)
+  # vertices
+  pt = jnp.where((d6 >= 0) & (d5 <= d6), c, pt)
+  pt = jnp.where((d3 >= 0) & (d4 <= d3), b, pt)
+  pt = jnp.where((d1 <= 0) & (d2 <= 0), a, pt)
+  return pt
+
+
+def _mesh_tables(verts_np: np.ndarray, faces_np: np.ndarray):
+  """(tri (F,3,3), outward face normals (F,3), offsets (F,)).
+
+  Kept as NUMPY constants: the factory output is cached across traces
+  (plan_cache), and a jnp array materialized inside one jit trace is a
+  tracer that must not leak into the next. Numpy consts bind fresh at
+  each op site."""
+  tri = np.asarray(verts_np)[np.asarray(faces_np)]
+  n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+  n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+  d = np.einsum("fi,fi->f", n, tri[:, 0])
+  return (tri.astype(np.float32), n.astype(np.float32),
+          d.astype(np.float32))
+
+
+def _point_mesh_local(tri, fnorm, foff, c, radius):
+  """Sphere(center c, radius) vs mesh, all in MESH-LOCAL coordinates.
+  Returns (dist, pos, n) with _sphere_box_pts sign conventions (n from the
+  sphere toward the mesh; dist < 0 when penetrating)."""
+  tri = jnp.asarray(tri)
+  fnorm = jnp.asarray(fnorm)
+  foff = jnp.asarray(foff)
+  cp = jax.vmap(_closest_on_tri, in_axes=(None, 0, 0, 0))(
+      c, tri[:, 0], tri[:, 1], tri[:, 2])             # (F, 3)
+  d2 = jnp.sum((cp - c) ** 2, axis=-1)
+  i = jnp.argmin(d2)
+  closest = cp[i]
+  dc = jnp.sqrt(jnp.maximum(d2[i], _EPS))
+  inside = jnp.all(math.mm(fnorm, c) - foff < 0.0)
+  dif = closest - c
+  n_out = dif / jnp.maximum(dc, _EPS)
+  n = jnp.where(inside, -n_out, n_out)
+  dist = jnp.where(inside, -dc - radius, dc - radius)
+  pos = c + n * (radius + 0.5 * dist)
+  return dist, pos, n
+
+
+def _mesh_factory(verts_np, faces_np):
+  tri, fnorm, foff = _mesh_tables(verts_np, faces_np)
+  verts = np.asarray(verts_np, dtype=np.float32)
+
+  def point_world(pm, mm, point, radius):
+    """World-frame sphere query against the mesh at pose (pm, mm)."""
+    c = mm.T @ (point - pm)
+    dist, pos_l, n_l = _point_mesh_local(tri, fnorm, foff, c, radius)
+    return dist, pm + mm @ pos_l, mm @ n_l
+
+  def plane_mesh(p1, m1, s1, p2, m2, s2):
+    n = m1[:, 2]
+    vw = p2 + jnp.asarray(verts) @ m2.T        # (V, 3) world verts
+    dists = vw @ n - jnp.dot(p1, n)
+    _, idx = jax.lax.top_k(-dists, 4)
+    d = dists[idx]
+    pos = vw[idx] - 0.5 * d[:, None] * n[None]
+    return d, pos, jnp.tile(n[None], (4, 1))
+
+  def sphere_mesh(p1, m1, s1, p2, m2, s2):
+    dist, pos, n = point_world(p2, m2, p1, s1[0])
+    return dist[None], pos[None], n[None]
+
+  def capsule_mesh(p1, m1, s1, p2, m2, s2):
+    a, b = _capsule_ends(p1, m1, s1)
+    lo = jnp.float32(0.0)
+    hi = jnp.float32(1.0)
+    def depth(t):
+      return point_world(p2, m2, a + t * (b - a), s1[0])[0]
+    for _ in range(10):
+      t1 = lo + (hi - lo) / 3.0
+      t2 = hi - (hi - lo) / 3.0
+      go_right = depth(t1) > depth(t2)
+      lo = jnp.where(go_right, t1, lo)
+      hi = jnp.where(go_right, hi, t2)
+    tb = 0.5 * (lo + hi)
+    t_other = jnp.where(tb > 0.5, 0.0, 1.0)
+    out = [point_world(p2, m2, a + t * (b - a), s1[0])
+           for t in (tb, t_other)]
+    return (jnp.stack([o[0] for o in out]),
+            jnp.stack([o[1] for o in out]),
+            jnp.stack([o[2] for o in out]))
+
+  def box_mesh(p1, m1, s1, p2, m2, s2):
+    # mesh verts into the box + box corners into the mesh (box_box pattern)
+    vw = p2 + jnp.asarray(verts) @ m2.T
+    o2 = jax.vmap(lambda v: _sphere_box_pts(v, 0.0, p1, m1, s1))(vw)
+    _, i2 = jax.lax.top_k(-o2[0], 2)
+    corners = _box_corners(p1, m1, s1)
+    o1 = jax.vmap(lambda c: point_world(p2, m2, c, 0.0))(corners)
+    _, i1 = jax.lax.top_k(-o1[0], 2)
+    dist = jnp.concatenate([o2[0][i2], o1[0][i1]])
+    pos = jnp.concatenate([o2[1][i2], o1[1][i1]])
+    n = jnp.concatenate([-o2[2][i2], o1[2][i1]])
+    return dist, pos, n
+
+  return {
+      (GeomType.PLANE, GeomType.MESH): plane_mesh,
+      (GeomType.SPHERE, GeomType.MESH): sphere_mesh,
+      (GeomType.CAPSULE, GeomType.MESH): capsule_mesh,
+      (GeomType.BOX, GeomType.MESH): box_mesh,
+  }
+
+
 # ---- heightfield kernels -----------------------------------------------
 # TPU-native terrain contacts: instead of MuJoCo's prism decomposition
 # (branchy, data-dependent), sample the height grid under the moving geom and
@@ -331,7 +482,10 @@ def _col_plan(m: Model):
   for p in pairs:
     g1, g2, nslots, condim = int(p[0]), int(p[1]), int(p[2]), int(p[3])
     t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
-    groups.setdefault((t1, t2), []).append((g1, g2, slot, nslots, condim))
+    # mesh pairs group per mesh asset: each mesh bakes its own kernel
+    did = int(m.geom_dataid[g2]) if t2 == int(GeomType.MESH) else -1
+    groups.setdefault((t1, t2, did), []).append(
+        (g1, g2, slot, nslots, condim))
 
     # host-side param mix
     sm1, sm2 = geom_solmix[g1], geom_solmix[g2]
@@ -382,9 +536,15 @@ def collision(m: Model, d: Data) -> Data:
   pos = jnp.zeros((ncon, 3), dtype=dtype)
   frame = jnp.zeros((ncon, 3, 3), dtype=dtype)
 
-  for (t1, t2), entries in groups.items():
+  for (t1, t2, did), entries in groups.items():
     key = (GeomType(t1), GeomType(t2))
-    if key in _HF_FNS:
+    if t2 == int(GeomType.MESH):
+      from myosuite_tpu.physics.types import plan_cache
+      vs = m.mesh_vert[did]
+      fns = plan_cache(vs, "mesh_kernels",
+                       lambda: _mesh_factory(vs.arr, m.mesh_face[did].arr))
+      fn = fns[key]
+    elif key in _HF_FNS:
       fn = _HF_FNS[key](d.hfield_data, m.hfield_size)
     else:
       fn = _FNS[key]

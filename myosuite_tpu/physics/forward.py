@@ -25,7 +25,10 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = tendon.tendon(m, d)
   d = actuation.transmission(m, d)
   d = smooth.crb(m, d)
-  d = smooth.factor_m(m, d)
+  if not solver.fused_path():
+    # fused path: the Pallas solver factorizes qM in-kernel; the XLA-side
+    # unrolled Cholesky (~nv scatter-broken fusions) is dead weight there
+    d = smooth.factor_m(m, d)
   d = collision.collision(m, d)
   return d
 
@@ -46,6 +49,9 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 def fwd_acceleration(m: Model, d: Data) -> Data:
   qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
                  + d.qfrc_applied + xfrc_projection(m, d))
+  if solver.fused_path():
+    # qacc_smooth comes out of the fused solver kernel in fwd_constraint
+    return d.replace(qfrc_smooth=qfrc_smooth)
   qacc_smooth = smooth.solve_m(d, qfrc_smooth)
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
@@ -70,7 +76,10 @@ def xfrc_projection(m: Model, d: Data) -> jax.Array:
 
 def fwd_constraint(m: Model, d: Data) -> Data:
   efc = constraint.make_efc(m, d)
-  qacc, qfrc_constraint, efc_force = solver.solve(m, d, efc)
+  qacc, qfrc_constraint, efc_force, a_smooth, qacc_euler = solver.solve(
+      m, d, efc)
+  if a_smooth is not None:
+    d = d.replace(qacc_smooth=a_smooth, qacc_euler=qacc_euler)
   # per-contact normal force (pyramidal edge forces of one contact sum to
   # its normal component) — feeds GRF observations and the OSL load input
   if m.ncon_max and efc_force.shape[0]:
@@ -176,19 +185,24 @@ def euler(m: Model, d: Data) -> Data:
   h = m.opt.timestep
   act = _integrate_act(m, d, h)
 
-  # static pruning only when damping is concrete; under vmapped domain
-  # randomization it is a tracer and the implicit branch must always run
-  if isinstance(m.dof_damping, jax.core.Tracer):
-    use_implicit = True
+  if solver.fused_path():
+    # the fused Pallas solver already solved (qM + h diag(damping)) qacc =
+    # qfrc_smooth + qfrc_constraint in-kernel
+    qacc = d.qacc_euler
   else:
-    use_implicit = bool(
-        (np.asarray(jax.device_get(m.dof_damping)) > 0).any())
-  if use_implicit:
-    mh = d.qM + h * jnp.diag(m.dof_damping)
-    rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = linalg.solve_pd(mh, rhs)
-  else:
-    qacc = d.qacc
+    # static pruning only when damping is concrete; under vmapped domain
+    # randomization it is a tracer and the implicit branch must always run
+    if isinstance(m.dof_damping, jax.core.Tracer):
+      use_implicit = True
+    else:
+      use_implicit = bool(
+          (np.asarray(jax.device_get(m.dof_damping)) > 0).any())
+    if use_implicit:
+      mh = d.qM + h * jnp.diag(m.dof_damping)
+      rhs = d.qfrc_smooth + d.qfrc_constraint
+      qacc = linalg.solve_pd(mh, rhs)
+    else:
+      qacc = d.qacc
 
   qvel = d.qvel + h * qacc
   qpos = _integrate_qpos(m, d.qpos, qvel, h)

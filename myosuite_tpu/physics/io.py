@@ -40,6 +40,11 @@ _PAIR_NCON = {
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
     (GeomType.BOX, GeomType.BOX): 8,
+    # convex mesh colliders (physics/collision.py mesh kernels)
+    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.CAPSULE, GeomType.MESH): 2,
+    (GeomType.BOX, GeomType.MESH): 4,
 }
 
 
@@ -149,6 +154,17 @@ def put_model(m: mujoco.MjModel) -> Model:
   f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
   S = lambda x: Static(np.asarray(x))
 
+  # convex mesh assets: geom-local vertices + outward-wound triangles
+  mesh_vert, mesh_face = [], []
+  for i in range(int(m.nmesh)):
+    va, vn = int(m.mesh_vertadr[i]), int(m.mesh_vertnum[i])
+    fa, fn = int(m.mesh_faceadr[i]), int(m.mesh_facenum[i])
+    mesh_vert.append(Static(np.asarray(
+        m.mesh_vert[va:va + vn], dtype=np.float32)))
+    mesh_face.append(Static(np.asarray(
+        m.mesh_face[fa:fa + fn], dtype=np.int32)))
+  mesh_vert, mesh_face = tuple(mesh_vert), tuple(mesh_face)
+
   return Model(
       nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), na=int(m.na),
       nbody=int(m.nbody), njnt=int(m.njnt), ngeom=int(m.ngeom),
@@ -167,6 +183,8 @@ def put_model(m: mujoco.MjModel) -> Model:
       dof_parentid=S(m.dof_parentid),
       geom_type=S(m.geom_type), geom_bodyid=S(m.geom_bodyid),
       geom_condim=S(m.geom_condim), geom_priority=S(m.geom_priority),
+      geom_dataid=S(m.geom_dataid), mesh_vert=mesh_vert,
+      mesh_face=mesh_face,
       site_bodyid=S(m.site_bodyid),
       tendon_adr=S(m.tendon_adr), tendon_num=S(m.tendon_num),
       tendon_limited=S(m.tendon_limited),
@@ -331,7 +349,7 @@ def make_data(m: Model) -> Data:
       qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
       qfrc_bias=z(m.nv), qfrc_passive=z(m.nv), qfrc_actuator=z(m.nv),
       qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv),
-      qfrc_constraint=z(m.nv), qacc=z(m.nv),
+      qfrc_constraint=z(m.nv), qacc=z(m.nv), qacc_euler=z(m.nv),
       contact=contact,
       efc_force_limit=z(m.njnt + m.ntendon),
       ncon_active=jnp.int32(0),

@@ -122,7 +122,12 @@ def com_pos(m: Model, d: Data) -> Data:
   root_com = subtree_com[m.body_rootid.arr]                 # (nbody, 3)
 
   def one_cinert(ximat, xipos, inertia, mass, off_origin):
-    imat_w = math.mm(math.mm(ximat, jnp.diag(inertia)), ximat.T)
+    # R diag(i) R^T = sum_k i_k R[:,k] R[:,k]^T as broadcast-multiply-reduce:
+    # a batched (3,3) dot_general here lowers to a conv emitter + layout
+    # copies on TPU (~0.6 ms/substep at batch 2048); elementwise stays on
+    # the VPU and fuses with the surrounding ops.
+    imat_w = jnp.sum(ximat[:, None, :] * ximat[None, :, :]
+                     * inertia[None, None, :], axis=-1)
     dvec = xipos - off_origin
     # parallel axis: I_origin = I_com + m (|d|^2 I - d d^T)
     i_off = imat_w + mass * (jnp.dot(dvec, dvec) * jnp.eye(3, dtype=dvec.dtype)

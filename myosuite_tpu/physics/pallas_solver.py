@@ -93,8 +93,8 @@ def _chol_solve(cols, b):
 
 
 def _solver_kernel(qM_ref, J_ref, aref_ref, R_ref, floss_ref, active_ref,
-                   warm_ref, asmooth_ref,
-                   qacc_ref, qfrc_ref, force_ref,
+                   warm_ref, qfs_ref, damph_ref,
+                   qacc_ref, qfrc_ref, force_ref, asmooth_ref, qaccint_ref,
                    *, n_friction: int, iterations: int,
                    ls_iterations: int):
   qM = qM_ref[:]                # (nv, nv, 8, 128)
@@ -103,8 +103,14 @@ def _solver_kernel(qM_ref, J_ref, aref_ref, R_ref, floss_ref, active_ref,
   Rinv = 1.0 / R_ref[:]
   floss = floss_ref[:]
   active = active_ref[:]        # float mask
-  a_smooth = asmooth_ref[:]     # (nv, 8, 128)
+  qfs = qfs_ref[:]              # qfrc_smooth (nv, 8, 128)
+  damph = damph_ref[:]          # h * dof_damping (nv, 8, 128)
   warm = warm_ref[:]
+
+  # a_smooth = qM^-1 qfrc_smooth, factored here so the XLA graph never
+  # needs mj_factorM/mj_solveM stages (each an unrolled Cholesky of ~n
+  # scatter-broken fusions per substep).
+  a_smooth = _chol_solve(_chol_factor(qM), qfs)
 
   nefc = aref.shape[0]
   # friction rows are a static PREFIX of the efc layout
@@ -177,9 +183,18 @@ def _solver_kernel(qM_ref, J_ref, aref_ref, R_ref, floss_ref, active_ref,
   force, _ = forces(jar)
   qfrc = _matvec_t(J, force)
 
+  # implicit-damping Euler solve (mj_Euler): (qM + h diag(damping)) qacc =
+  # qfrc_smooth + qfrc_constraint, fused here to drop the second full
+  # Cholesky from the XLA substep graph.
+  eyef = (ii == jj).astype(qM.dtype)
+  mh = qM + eyef * damph[:, None]
+  qacc_int = _chol_solve(_chol_factor(mh), qfs + qfrc)
+
   qacc_ref[:] = a
   qfrc_ref[:] = qfrc
   force_ref[:] = force
+  asmooth_ref[:] = a_smooth
+  qaccint_ref[:] = qacc_int
 
 
 def _to_tiles(x: jax.Array, nb: int) -> jax.Array:
@@ -196,11 +211,12 @@ def _from_tiles(x: jax.Array, batch: int) -> jax.Array:
   return jnp.transpose(x, (x.ndim - 1,) + lead)[:batch]
 
 
-def solve_batched(qM, J, aref, R, floss, active, warm, a_smooth,
+def solve_batched(qM, J, aref, R, floss, active, warm, qfrc_smooth, damph,
                   *, is_friction: Tuple[bool, ...], iterations: int,
                   ls_iterations: int, interpret: bool = False):
-  """Batched Newton solve. Args lead with batch axis; returns
-  (qacc, qfrc_constraint, efc_force) batched the same way."""
+  """Batched Newton solve + fused smooth/implicit solves. Args lead with
+  batch axis; returns (qacc, qfrc_constraint, efc_force, qacc_smooth,
+  qacc_euler) batched the same way."""
   batch = qM.shape[0]
   nv = qM.shape[-1]
   nefc = J.shape[1]
@@ -212,7 +228,8 @@ def solve_batched(qM, J, aref, R, floss, active, warm, a_smooth,
     J = jnp.concatenate([J, jnp.zeros((pad,) + J.shape[1:], J.dtype)])
     zs = lambda x: jnp.concatenate(
         [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-    aref, floss, warm, a_smooth = map(zs, (aref, floss, warm, a_smooth))
+    aref, floss, warm, qfrc_smooth, damph = map(
+        zs, (aref, floss, warm, qfrc_smooth, damph))
     R = jnp.concatenate([R, jnp.ones((pad,) + R.shape[1:], R.dtype)])
     active = jnp.concatenate(
         [active, jnp.zeros((pad,) + active.shape[1:], active.dtype)])
@@ -225,7 +242,8 @@ def solve_batched(qM, J, aref, R, floss, active, warm, a_smooth,
   floss_t = _to_tiles(floss, nb)
   active_t = _to_tiles(active.astype(qM.dtype), nb)
   warm_t = _to_tiles(warm, nb)
-  asmooth_t = _to_tiles(a_smooth, nb)
+  qfs_t = _to_tiles(qfrc_smooth, nb)
+  damph_t = _to_tiles(damph, nb)
 
   isfr = np.asarray(is_friction, dtype=bool)
   n_friction = int(isfr.sum())
@@ -242,23 +260,27 @@ def solve_batched(qM, J, aref, R, floss, active, warm, a_smooth,
       (r, None, _SUB, _LANE), lambda b: (0, b, 0, 0),
       memory_space=pltpu.VMEM)
 
-  qacc_t, qfrc_t, force_t = pl.pallas_call(
+  qacc_t, qfrc_t, force_t, asm_t, qint_t = pl.pallas_call(
       kernel,
       grid=(nb,),
       interpret=interpret,
       in_specs=[mat_spec(nv, nv), mat_spec(nefc, nv), vec_spec(nefc),
                 vec_spec(nefc), vec_spec(nefc), vec_spec(nefc),
-                vec_spec(nv), vec_spec(nv)],
-      out_specs=[vec_spec(nv), vec_spec(nv), vec_spec(nefc)],
+                vec_spec(nv), vec_spec(nv), vec_spec(nv)],
+      out_specs=[vec_spec(nv), vec_spec(nv), vec_spec(nefc),
+                 vec_spec(nv), vec_spec(nv)],
       out_shape=[
           jax.ShapeDtypeStruct((nv, nb, _SUB, _LANE), qM.dtype),
           jax.ShapeDtypeStruct((nv, nb, _SUB, _LANE), qM.dtype),
           jax.ShapeDtypeStruct((nefc, nb, _SUB, _LANE), qM.dtype),
+          jax.ShapeDtypeStruct((nv, nb, _SUB, _LANE), qM.dtype),
+          jax.ShapeDtypeStruct((nv, nb, _SUB, _LANE), qM.dtype),
       ],
-  )(qM_t, J_t, aref_t, R_t, floss_t, active_t, warm_t, asmooth_t)
+  )(qM_t, J_t, aref_t, R_t, floss_t, active_t, warm_t, qfs_t, damph_t)
 
   return (_from_tiles(qacc_t, batch), _from_tiles(qfrc_t, batch),
-          _from_tiles(force_t, batch))
+          _from_tiles(force_t, batch), _from_tiles(asm_t, batch),
+          _from_tiles(qint_t, batch))
 
 
 # ---------------------------------------------------------------------------
@@ -290,31 +312,37 @@ def solve_entry(is_friction: Tuple[bool, ...], iterations: int,
             ls_iterations=ls_iterations, interpret=interpret)
   isfr_np = np.asarray(is_friction, dtype=bool)
 
-  def xla_single(qM, J, aref, R, floss, active, warm, a_smooth):
+  def xla_single(qM, J, aref, R, floss, active, warm, qfrc_smooth, damph):
+    from myosuite_tpu.physics import linalg
+    a_smooth = linalg.solve_pd(qM, qfrc_smooth)
     efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
               is_friction=isfr_np)
-    return _solver.newton_xla(qM, efc, warm, a_smooth, iterations,
-                              ls_iterations)
+    qacc, qfrc, force = _solver.newton_xla(qM, efc, warm, a_smooth,
+                                           iterations, ls_iterations)
+    mh = qM + jnp.diag(damph)
+    qacc_euler = linalg.solve_pd(mh, qfrc_smooth + qfrc)
+    return qacc, qfrc, force, a_smooth, qacc_euler
 
   @custom_batching.custom_vmap
-  def f(qM, J, aref, R, floss, active, warm, a_smooth):
+  def f(qM, J, aref, R, floss, active, warm, qfrc_smooth, damph):
     # un-vmapped call: a single env never pays for a padded kernel block
-    return xla_single(qM, J, aref, R, floss, active, warm, a_smooth)
+    return xla_single(qM, J, aref, R, floss, active, warm, qfrc_smooth,
+                      damph)
 
   @f.def_vmap
   def _rule(axis_size, in_batched, qM, J, aref, R, floss, active, warm,
-            a_smooth):
+            qfrc_smooth, damph):
     def bcast(x, b):
       return x if b else jnp.broadcast_to(x[None],
                                           (axis_size,) + x.shape)
     args = [bcast(x, b) for x, b in
-            zip((qM, J, aref, R, floss, active, warm, a_smooth),
+            zip((qM, J, aref, R, floss, active, warm, qfrc_smooth, damph),
                 in_batched)]
     if axis_size < _BLOCK:
       outs = jax.vmap(xla_single)(*args)
     else:
       outs = solve_batched(*args, **kw)
-    return tuple(outs), (True, True, True)
+    return tuple(outs), (True, True, True, True, True)
 
   return f
 

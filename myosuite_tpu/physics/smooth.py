@@ -38,7 +38,10 @@ def crb(m: Model, d: Data) -> Data:
   crb_inert = math.mm(m.body_subtreemask, d.cinert)          # (nbody, 10)
   body_of_dof = m.dof_bodyid.arr
   f = jax.vmap(math.inert_vec)(crb_inert[body_of_dof], d.cdof)  # (nv, 6)
-  m1 = math.mm(f, d.cdof.T)                                  # (nv, nv) on MXU
+  # (nv,6)@(6,nv) per env: as a dot_general the vmapped batch lowers to a
+  # conv emitter + layout copies on TPU (~0.08 ms/substep); the k=6
+  # broadcast-multiply-reduce stays in one VPU loop fusion.
+  m1 = jnp.sum(f[:, None, :] * d.cdof[None, :, :], axis=-1)  # (nv, nv)
   mask = jnp.asarray(_ancestor_mask(m))
   lower = m1 * mask
   qm = lower + lower.T - jnp.diag(jnp.diag(lower))

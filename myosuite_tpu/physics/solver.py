@@ -119,20 +119,41 @@ def newton_xla(qM: jax.Array, efc: Efc, warm: jax.Array,
   return a, qfrc_constraint, force
 
 
-def solve(m: Model, d: Data,
-          efc: Efc) -> Tuple[jax.Array, jax.Array, jax.Array]:
-  """Returns (qacc, qfrc_constraint, efc_force)."""
+def fused_path() -> bool:
+  """True when the Pallas kernel also computes qacc_smooth and the
+  implicit-damping Euler acceleration (so the XLA graph skips mj_factorM /
+  mj_solveM / the integrator's second Cholesky entirely)."""
+  return _use_pallas()
+
+
+def solve(m: Model, d: Data, efc: Efc
+          ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+  """Returns (qacc, qfrc_constraint, efc_force, qacc_smooth, qacc_euler).
+
+  The trailing two are None on the plain XLA path (they are produced by
+  smooth.solve_m / forward.euler there); on the fused Pallas path they
+  come out of the kernel."""
+  dtype = d.qpos.dtype
   if efc.J.shape[0] == 0:
-    return (d.qacc_smooth, jnp.zeros(m.nv, dtype=d.qpos.dtype),
-            jnp.zeros(0, dtype=d.qpos.dtype))
+    if fused_path():
+      damph = m.opt.timestep * m.dof_damping
+      a_smooth = linalg.solve_pd(d.qM, d.qfrc_smooth)
+      qacc_euler = linalg.solve_pd(d.qM + jnp.diag(damph), d.qfrc_smooth)
+      return (a_smooth, jnp.zeros(m.nv, dtype=dtype),
+              jnp.zeros(0, dtype=dtype), a_smooth, qacc_euler)
+    return (d.qacc_smooth, jnp.zeros(m.nv, dtype=dtype),
+            jnp.zeros(0, dtype=dtype), None, None)
 
   if _use_pallas():
     from myosuite_tpu.physics import pallas_solver
     fn = pallas_solver.solve_entry(
         tuple(bool(x) for x in np.asarray(efc.is_friction)),
         int(m.opt.iterations), int(m.opt.ls_iterations))
+    damph = (m.opt.timestep * m.dof_damping).astype(dtype)
     return fn(d.qM, efc.J, efc.aref, efc.R, efc.floss,
-              efc.active.astype(d.qpos.dtype), d.qacc, d.qacc_smooth)
+              efc.active.astype(dtype), d.qacc, d.qfrc_smooth, damph)
 
-  return newton_xla(d.qM, efc, d.qacc, d.qacc_smooth,
-                    int(m.opt.iterations), int(m.opt.ls_iterations))
+  qacc, qfrc, force = newton_xla(d.qM, efc, d.qacc, d.qacc_smooth,
+                                 int(m.opt.iterations),
+                                 int(m.opt.ls_iterations))
+  return qacc, qfrc, force, None, None

@@ -163,14 +163,26 @@ def tendon(m: Model, d: Data) -> Data:
   ten_length = math.mm(jnp.asarray(plan.fixed_len_w), d.qpos)
   ten_J = jnp.asarray(plan.fixed_jac_w) * jnp.ones((), dtype=dtype)
 
+  dof_mask = jnp.asarray(_body_dof_mask(m))          # (nbody, nv) static
+  com_root_all = d.subtree_com[m.body_rootid.arr]    # (nbody, 3)
+
   def seg_contrib(pa, pb, ba, bb):
-    """Length + dL/dq of batched straight segments between two bodies."""
+    """Length + dL/dq of batched straight segments between two bodies.
+
+    Uses the triple-product identity (cdof_ang x offset) . u =
+    cdof_ang . (offset x u) to contract each endpoint jacobian directly:
+    dj[n,v] = mask_b[n,v] (cdof[v,:3].(off_b x u) + cdof[v,3:].u)
+            - mask_a[n,v] (cdof[v,:3].(off_a x u) + cdof[v,3:].u)
+    avoiding the (N, nv, 3) point-jacobian intermediates (the einsum path
+    cost ~0.15 ms/substep at batch 2048 on the hand model)."""
     dif = pb - pa
     length = jax.vmap(math.norm_safe)(dif)
     u = dif / jnp.maximum(length, 1e-9)[:, None]
-    ja = _points_jac(m, d, pa, ba)
-    jb = _points_jac(m, d, pb, bb)
-    dj = jnp.einsum("nvk,nk->nv", jb - ja, u)
+    aa = jnp.concatenate([jnp.cross(pa - com_root_all[ba], u), u], axis=-1)
+    ab = jnp.concatenate([jnp.cross(pb - com_root_all[bb], u), u], axis=-1)
+    ta = jnp.sum(aa[:, None, :] * d.cdof[None, :, :], axis=-1)   # (N, nv)
+    tb = jnp.sum(ab[:, None, :] * d.cdof[None, :, :], axis=-1)
+    dj = dof_mask[bb] * tb - dof_mask[ba] * ta
     return length, dj
 
   # straight segments: one batched op

@@ -235,6 +235,12 @@ class Model:
   geom_bodyid: Static = static_field()
   geom_condim: Static = static_field()
   geom_priority: Static = static_field()
+  # convex mesh colliders: geom -> mesh id (-1 for primitives); per-mesh
+  # geom-local vertices (V, 3) float32 and triangle faces (F, 3) int32
+  # with outward winding (MuJoCo asset convention)
+  geom_dataid: Static = static_field()
+  mesh_vert: tuple = static_field()     # tuple[Static, ...]
+  mesh_face: tuple = static_field()     # tuple[Static, ...]
   site_bodyid: Static = static_field()
   tendon_adr: Static = static_field()
   tendon_num: Static = static_field()
@@ -382,6 +388,10 @@ class Data:
   qacc_smooth: jax.Array
   qfrc_constraint: jax.Array
   qacc: jax.Array
+  # integrator acceleration from the fused solver kernel:
+  # (qM + h diag(damping))^-1 (qfrc_smooth + qfrc_constraint); zeros on
+  # the plain XLA path (euler() solves it inline there)
+  qacc_euler: jax.Array
 
   # constraints
   contact: Contact

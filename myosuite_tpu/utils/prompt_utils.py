@@ -28,6 +28,17 @@ _NAMES = {p.name: p for p in Prompt}
 _NAMES["ALL"] = Prompt.ALWAYS
 _ONCE_SEEN = set()
 
+# Minimum verbosity required for each message type: ERROR/ALWAYS always
+# print; WARN needs verbosity>=WARN; INFO needs verbosity>=INFO; ONCE
+# prints at any non-silent verbosity (once).
+_REQUIRED_VERBOSITY = {
+    Prompt.ALWAYS: Prompt.SILENT,
+    Prompt.ERROR: Prompt.SILENT,
+    Prompt.WARN: Prompt.WARN,
+    Prompt.INFO: Prompt.INFO,
+    Prompt.ONCE: Prompt.ONCE,
+}
+
 
 def verbosity() -> Prompt:
   raw = os.environ.get("MTX_VERBOSITY",
@@ -44,8 +55,6 @@ def prompt(message, type_: str = "INFO", flush: bool = False,
     if key in _ONCE_SEEN:
       return
     _ONCE_SEEN.add(key)
-  # print when message priority >= (ALWAYS - verbosity): higher verbosity
-  # admits lower-priority messages
-  if level >= (Prompt.ALWAYS - verbosity()):
+  if verbosity() >= _REQUIRED_VERBOSITY[level]:
     stream = sys.stderr if level in (Prompt.WARN, Prompt.ERROR) else sys.stdout
     print(message, file=stream, flush=flush, end=end)

@@ -3,7 +3,9 @@
 The fused TPU kernel (physics/pallas_solver.py) is the default solve path
 on TPU but is invisible to the CPU-pinned test suite; this runs the SAME
 kernel in Pallas interpret mode against solver.newton_xla on synthetic
-constraint systems so an edit to the kernel cannot silently diverge.
+constraint systems so an edit to the kernel cannot silently diverge. The
+kernel also fuses the smooth solve (a_smooth = qM^-1 qfrc_smooth) and the
+implicit-damping Euler solve; both are checked against linalg.solve_pd.
 """
 
 import jax
@@ -11,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from myosuite_tpu.physics import pallas_solver, solver
+from myosuite_tpu.physics import linalg, pallas_solver, solver
 from myosuite_tpu.physics.constraint import Efc
 
 
@@ -27,8 +29,23 @@ def _random_system(rng: np.random.Generator, nv: int, nefc: int,
   active = np.ones(nefc, dtype=np.float32)
   active[n_friction:] = (rng.random(nefc - n_friction) > 0.3)
   warm = rng.standard_normal(nv).astype(np.float32)
-  a_smooth = rng.standard_normal(nv).astype(np.float32)
-  return qM, J, aref, R, floss, active, warm, a_smooth
+  qfrc_smooth = rng.standard_normal(nv).astype(np.float32)
+  damph = (0.01 * rng.random(nv)).astype(np.float32)
+  return qM, J, aref, R, floss, active, warm, qfrc_smooth, damph
+
+
+def _xla_reference(is_friction):
+  isfr_np = np.asarray(is_friction)
+
+  def xla_one(qM, J, aref, R, floss, active, warm, qfrc_smooth, damph):
+    a_smooth = linalg.solve_pd(qM, qfrc_smooth)
+    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
+              is_friction=isfr_np)
+    qacc, qfrc, force = solver.newton_xla(qM, efc, warm, a_smooth, 6, 6)
+    qacc_euler = linalg.solve_pd(qM + jnp.diag(damph), qfrc_smooth + qfrc)
+    return qacc, qfrc, force, a_smooth, qacc_euler
+
+  return xla_one
 
 
 @pytest.mark.parametrize("batch", [5, 37])
@@ -40,22 +57,15 @@ def test_pallas_kernel_matches_xla(batch):
   args = [jnp.asarray(a) for a in args]
 
   is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
-  qacc_p, qfrc_p, force_p = pallas_solver.solve_batched(
+  outs_p = pallas_solver.solve_batched(
       *args, is_friction=is_friction, iterations=6, ls_iterations=6,
       interpret=True)
 
-  isfr_np = np.asarray(is_friction)
+  outs_x = jax.vmap(_xla_reference(is_friction))(*args)
 
-  def xla_one(qM, J, aref, R, floss, active, warm, a_smooth):
-    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
-              is_friction=isfr_np)
-    return solver.newton_xla(qM, efc, warm, a_smooth, 6, 6)
-
-  qacc_x, qfrc_x, force_x = jax.vmap(xla_one)(*args)
-
-  np.testing.assert_allclose(qacc_p, qacc_x, rtol=1e-4, atol=1e-4)
-  np.testing.assert_allclose(qfrc_p, qfrc_x, rtol=1e-4, atol=1e-4)
-  np.testing.assert_allclose(force_p, force_x, rtol=1e-4, atol=1e-4)
+  for p, x, name in zip(outs_p, outs_x,
+                        ("qacc", "qfrc", "force", "a_smooth", "qacc_euler")):
+    np.testing.assert_allclose(p, x, rtol=1e-4, atol=1e-4, err_msg=name)
 
 
 def test_solve_entry_small_batch_uses_xla():
@@ -71,17 +81,12 @@ def test_solve_entry_small_batch_uses_xla():
 
   is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
   entry = pallas_solver.solve_entry(is_friction, 6, 6)
-  qacc_e, _, _ = jax.jit(jax.vmap(entry))(*args)
+  qacc_e, _, _, asm_e, qeu_e = jax.jit(jax.vmap(entry))(*args)
 
-  isfr_np = np.asarray(is_friction)
-
-  def xla_one(qM, J, aref, R, floss, active, warm, a_smooth):
-    efc = Efc(J=J, aref=aref, R=R, floss=floss, active=active != 0,
-              is_friction=isfr_np)
-    return solver.newton_xla(qM, efc, warm, a_smooth, 6, 6)
-
-  qacc_x, _, _ = jax.vmap(xla_one)(*args)
+  qacc_x, _, _, asm_x, qeu_x = jax.vmap(_xla_reference(is_friction))(*args)
   np.testing.assert_allclose(qacc_e, qacc_x, rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(asm_e, asm_x, rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(qeu_e, qeu_x, rtol=1e-5, atol=1e-5)
 
 
 def test_solve_entry_unbatched_no_padding():
@@ -90,14 +95,14 @@ def test_solve_entry_unbatched_no_padding():
   args = [jnp.asarray(a) for a in _random_system(rng, nv, nefc, n_fr)]
   is_friction = tuple([True] * n_fr + [False] * (nefc - n_fr))
   entry = pallas_solver.solve_entry(is_friction, 6, 6)
-  qacc, qfrc, force = jax.jit(entry)(*args)
+  qacc, qfrc, force, a_smooth, qacc_euler = jax.jit(entry)(*args)
   assert qacc.shape == (nv,) and force.shape == (nefc,)
   assert np.isfinite(np.asarray(qacc)).all()
+  assert np.isfinite(np.asarray(qacc_euler)).all()
 
 
 def test_chol_factor_nan_on_non_pd():
   """Non-PD input must surface as NaN, not silently-finite garbage."""
-  from myosuite_tpu.physics import linalg
   M = jnp.asarray(np.diag([1.0, -2.0, 3.0]).astype(np.float32))
   L = linalg.chol_factor(M)
   assert np.isnan(np.asarray(L)[1:, 1]).all()
