@@ -46,6 +46,18 @@ class AutoResetWrapper:
   def step(self, state: State, action: jax.Array) -> State:
     state = self._env.step(state, action)
     truncation = state.info.get("truncation", jnp.float32(0.0))
+    # a diverged env (NaN/inf physics, e.g. from an extreme exploratory
+    # action) can never recover on its own — NaN propagates through every
+    # subsequent substep and would poison the whole batch's statistics for
+    # the rest of training. Treat non-finiteness as a terminal and reset;
+    # zero the reward so the learner never consumes the NaN.
+    blown = jnp.logical_or(
+        ~jnp.all(jnp.isfinite(state.obs["state"])),
+        ~jnp.isfinite(state.reward))
+    state = state.replace(
+        reward=jnp.where(blown, 0.0, state.reward),
+        obs=jax.tree.map(jnp.nan_to_num, state.obs),
+        done=jnp.maximum(state.done, blown.astype(state.done.dtype)))
     boundary = jnp.logical_or(state.done > 0, truncation > 0)
 
     # fresh reset state (traced unconditionally; selected by mask)

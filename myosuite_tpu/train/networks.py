@@ -54,11 +54,19 @@ class ValueNet(nn.Module):
 def sample_action(mean: jax.Array, log_std: jax.Array,
                   rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
   """Sample tanh-squashed action; returns (action, log_prob)."""
+  action, _, logp = sample_action_raw(mean, log_std, rng)
+  return action, logp
+
+
+def sample_action_raw(mean: jax.Array, log_std: jax.Array, rng: jax.Array):
+  """(action, raw, log_prob). Store RAW for PPO: atanh(tanh(raw)) clips at
+  ~7.25 in float32, so a reconstructed raw diverges from the sampled one
+  exactly when the policy saturates — corrupting the importance ratio."""
   std = jnp.exp(log_std)
   raw = mean + std * jax.random.normal(rng, mean.shape)
   action = jnp.tanh(raw)
   logp = gaussian_tanh_log_prob(mean, log_std, raw)
-  return action, logp
+  return action, raw, logp
 
 
 def gaussian_tanh_log_prob(mean, log_std, raw):
@@ -76,11 +84,13 @@ def atanh(x):
 
 
 def entropy_estimate(mean, log_std, raw):
-  """Entropy of the squashed distribution via sampled correction."""
-  base = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
-  corr = jnp.sum(2.0 * (jnp.log(2.0) - raw - jax.nn.softplus(-2.0 * raw)),
-                 axis=-1)
-  return base - corr
+  """Base Gaussian entropy (pre-squash), the quantity the PPO bonus should
+  maximize. The tanh-corrected sample estimate (base - corr) grows
+  LINEARLY in |raw|, so using it as a bonus rewards saturating the policy
+  — observed driving |raw| past the atanh clip and collapsing training.
+  (Brax's PPO likewise regularizes the underlying Gaussian's entropy.)"""
+  del mean, raw
+  return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
 
 def deterministic_action(mean: jax.Array) -> jax.Array:
   return jnp.tanh(mean)

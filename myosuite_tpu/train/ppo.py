@@ -84,10 +84,12 @@ class PPO:
     self.policy = networks.PolicyNet(action_size=env.action_size,
                                      hidden=tuple(self.cfg.policy_hidden))
     self.value = networks.ValueNet(hidden=tuple(self.cfg.value_hidden))
-    self.optimizer = optax.chain(
+    # apply_if_finite: a non-finite gradient (diverged rollout, overflow)
+    # skips the update instead of poisoning the params with NaN
+    self.optimizer = optax.apply_if_finite(optax.chain(
         optax.clip_by_global_norm(self.cfg.max_grad_norm),
         optax.adam(self.cfg.learning_rate),
-    )
+    ), max_consecutive_errors=100)
 
   # -- initialization -----------------------------------------------------
   def init(self, rng: jax.Array) -> TrainState:
@@ -122,9 +124,7 @@ class PPO:
       obs = env_state.obs["state"]
       nobs = self._norm_obs(stats, obs)
       mean, log_std = self.policy.apply(ts.policy_params, nobs)
-      action, logp = networks.sample_action(
-          mean, log_std, sub)
-      raw = networks.atanh(action)
+      action, raw, logp = networks.sample_action_raw(mean, log_std, sub)
       nxt = v_step(env_state, action)
       tr = Transition(
           obs=obs, action=action, raw_action=raw, log_prob=logp,
@@ -149,10 +149,10 @@ class PPO:
     return ts, traj
 
   # -- advantage ----------------------------------------------------------
-  def _gae(self, ts: TrainState, traj: Transition):
+  def _gae(self, ts: TrainState, traj: Transition, stats):
     cfg = self.cfg
     vf = lambda obs: self.value.apply(
-        ts.value_params, self._norm_obs(ts.obs_stats, obs))
+        ts.value_params, self._norm_obs(stats, obs))
     values = vf(traj.obs)                       # (T, B)
     # bootstrap: value of the state the env actually reached (pre-reset)
     term_values = vf(traj.terminal_obs)
@@ -187,7 +187,12 @@ class PPO:
     nobs = self._norm_obs(obs_stats, obs)
     mean, log_std = self.policy.apply(policy_params, nobs)
     logp = networks.gaussian_tanh_log_prob(mean, log_std, raw_action)
-    ratio = jnp.exp(logp - old_logp)
+    # clamp the log-ratio: once the policy sharpens, off-policy samples can
+    # reach |logp - old_logp| > 80 and exp() overflows to inf; inf * a
+    # zero advantage is NaN and one NaN poisons every parameter through
+    # the mean. Clipping at e^+-20 leaves the PPO objective untouched
+    # inside the trust region (observed: elbow run NaN'd at iter 4).
+    ratio = jnp.exp(jnp.clip(logp - old_logp, -20.0, 20.0))
     adv_n = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
     surrogate = -jnp.minimum(
         ratio * adv_n,
@@ -201,9 +206,9 @@ class PPO:
     return total, {"policy_loss": jnp.mean(surrogate), "value_loss": v_loss,
                    "entropy": entropy}
 
-  def _update_epoch(self, ts: TrainState, traj: Transition):
+  def _update_epoch(self, ts: TrainState, traj: Transition, stats):
     cfg = self.cfg
-    advs, rets = self._gae(ts, traj)
+    advs, rets = self._gae(ts, traj, stats)
     t, b = traj.reward.shape
     flat = lambda x: x.reshape((t * b,) + x.shape[2:])
     dataset = (flat(traj.obs), flat(traj.raw_action), flat(traj.log_prob),
@@ -222,7 +227,7 @@ class PPO:
         sl = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled)
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            (pol2, val2), sl, ts.obs_stats)
+            (pol2, val2), sl, stats)
         updates, opt2 = self.optimizer.update(grads, opt2, (pol2, val2))
         (pol2, val2) = optax.apply_updates((pol2, val2), updates)
         return (pol2, val2, opt2), aux
@@ -241,8 +246,14 @@ class PPO:
   # -- public API ---------------------------------------------------------
   def training_step(self, ts: TrainState):
     """One rollout + PPO update; jit-compile this (or a scan over it)."""
+    # old_logp was computed under the BEHAVIOR-time normalizer; the update
+    # must renormalize stored obs with those same stats, or the PPO ratio
+    # measures the normalizer shift instead of the policy change (observed:
+    # ratio blowups -> entropy-maximizing collapse on the elbow run). The
+    # freshly-updated stats only take effect at the next rollout.
+    behavior_stats = ts.obs_stats
     ts, traj = self._rollout(ts)
-    ts, aux = self._update_epoch(ts, traj)
+    ts, aux = self._update_epoch(ts, traj, behavior_stats)
     metrics = {
         **aux,
         "reward_per_step": traj.reward.mean(),

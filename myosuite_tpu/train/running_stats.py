@@ -25,7 +25,12 @@ class RunningStats:
   @property
   def std(self):
     var = self.m2 / jnp.maximum(self.count, 2.0)
-    return jnp.sqrt(jnp.maximum(var, 1e-6))
+    # identity normalization until real data arrives: with the m2=0 init a
+    # tiny count would give std~1e-3 and the first rollout's normalized
+    # obs would saturate the +-5 clip (observed destabilizing PPO iter 0)
+    return jnp.where(self.count > 1.0,
+                     jnp.sqrt(jnp.maximum(var, 1e-6)),
+                     jnp.ones_like(self.m2))
 
 
 def init(dim: int) -> RunningStats:

@@ -48,16 +48,29 @@ def main():
     cfg.num_timesteps = args.num_timesteps
     cfg.num_envs = args.num_envs
     cfg.num_evals = 10
-    eval_cb = cb.EvalCallback(env, num_episodes=16, every=9)
+    eval_cb = cb.EvalCallback(env, num_episodes=16, every=3)
     ppo, ts, stats = ppo_mod.train(
         env, cfg, callbacks=[cb.InfoCallback(), eval_cb])
+    # final eval so the summary reflects the shipped params
+    eval_cb.on_iteration(0, stats["steps"], {}, ppo, ts)
     out = os.path.abspath(os.path.join(root, env_name.replace("-", "_")))
-    checkpoint.save(out, ts, step=stats["steps"])
+    # learner-only: the shipped artifact is the policy, not the env batch
+    checkpoint.save(out, ts, step=stats["steps"], learner_only=True)
     summary[env_name] = {
         "steps": stats["steps"], "wall_clock": stats["wall_clock"],
         "final_eval": eval_cb.history[-1] if eval_cb.history else None}
+    with open(os.path.join(root, env_name.replace("-", "_"),
+                           "metrics.jsonl"), "w") as f:
+      for row in eval_cb.history:
+        f.write(json.dumps(row) + "\n")
     print(json.dumps(summary[env_name]), flush=True)
-  with open(os.path.join(root, "summary.json"), "w") as f:
+  spath = os.path.join(root, "summary.json")
+  if os.path.exists(spath):   # merge: per-env reruns keep other entries
+    with open(spath) as f:
+      merged = json.load(f)
+    merged.update(summary)
+    summary = merged
+  with open(spath, "w") as f:
     json.dump(summary, f, indent=2)
   print(json.dumps(summary, indent=2))
   os._exit(0)
