@@ -184,11 +184,14 @@ OBJECT_SNIPPETS = {
       <site name="ball2_site" size="0.004"/>
     </body>
 """,
-    # die for in-hand reorientation (reference myohand_die.xml role)
+    # die for in-hand reorientation (reference myohand_die.xml role).
+    # The die is a real convex MESH geom (8-corner hull), exercising the
+    # engine's mesh contact kernels (physics/collision.py) like the
+    # reference's die mesh (myochallenge/reorient_v0.py:15).
     "die": """
     <body name="object" pos="{ox} {oy} {oz}">
       <freejoint name="object_free"/>
-      <geom name="object_geom" type="box" size="0.023 0.023 0.023"
+      <geom name="object_geom" type="mesh" mesh="die_mesh"
             mass="0.07" contype="2" conaffinity="5"
             friction="1 0.01 0.0005" solref="0.015 1" condim="3"/>
       <site name="object_site" size="0.005"/>
@@ -234,6 +237,16 @@ OBJECT_SNIPPETS = {
             condim="3"/>
       <site name="key_site" pos="0 0 0.03" size="0.004"/>
     </body>
+""",
+}
+
+# per-object <asset> entries (mesh colliders); half-size 0.023 die hull
+OBJECT_ASSETS = {
+    "die": """
+    <mesh name="die_mesh" vertex="-0.023 -0.023 -0.023  0.023 -0.023 -0.023
+                                  -0.023  0.023 -0.023  0.023  0.023 -0.023
+                                  -0.023 -0.023  0.023  0.023 -0.023  0.023
+                                  -0.023  0.023  0.023  0.023  0.023  0.023"/>
 """,
 }
 
@@ -392,7 +405,9 @@ def build_hand(palm_up: bool = False, obj: str = "",
   # palm-up object scenes: passive wrist tone so the hand holds level
   wrist_passive = ' stiffness="3.0" damping="0.5"' if palm_up else ""
   obj_xml = ""
+  obj_assets = ""
   if obj:
+    obj_assets = OBJECT_ASSETS.get(obj, "")
     snippet = OBJECT_SNIPPETS[obj]
     obj_xml = snippet.format(ox=-0.15 if obj != "key" else -0.26,
                              oy=0.0, oz=1.245 if obj != "key" else 1.21,
@@ -459,6 +474,9 @@ def build_hand(palm_up: bool = False, obj: str = "",
     <lengthrange mode="none"/>
   </compiler>
   <option timestep="0.002" iterations="6" ls_iterations="6"/>
+  <asset>
+    {obj_assets}
+  </asset>
   <default>
     <joint limited="true" damping="0.02" armature="0.0002"/>
     <geom contype="0" conaffinity="0" friction="1 0.005 0.0001"/>

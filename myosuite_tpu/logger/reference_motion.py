@@ -32,12 +32,16 @@ class ReferenceMotion:
   robot: jax.Array       # (T, nq_robot)  joint-space reference
   object: jax.Array      # (T, 7) object pose reference (pos + quat)
   robot_vel: jax.Array   # (T, nq_robot)
+  robot_init: jax.Array  # (nq_robot,) initial pose (reference schema key;
+                         # may differ from robot[0], reference_motion.py:18)
+  object_init: jax.Array
   ref_type: int = struct.field(pytree_node=False)
   horizon: float = struct.field(pytree_node=False)
 
   @classmethod
   def from_arrays(cls, time, robot, obj=None,
-                  robot_vel=None) -> "ReferenceMotion":
+                  robot_vel=None, robot_init=None,
+                  object_init=None) -> "ReferenceMotion":
     time = jnp.atleast_1d(jnp.asarray(time, dtype=jnp.float32))
     robot = jnp.atleast_2d(jnp.asarray(robot, dtype=jnp.float32))
     n = robot.shape[0]
@@ -61,17 +65,24 @@ class ReferenceMotion:
         robot_vel = jnp.zeros_like(robot)
     else:
       robot_vel = jnp.atleast_2d(jnp.asarray(robot_vel, dtype=jnp.float32))
+    robot_init = (robot[0] if robot_init is None
+                  else jnp.asarray(robot_init, dtype=jnp.float32))
+    object_init = (obj[0] if object_init is None
+                   else jnp.asarray(object_init, dtype=jnp.float32))
     return cls(time=time, robot=robot, object=obj, robot_vel=robot_vel,
+               robot_init=robot_init, object_init=object_init,
                ref_type=int(rtype), horizon=float(time[-1]))
 
   @classmethod
   def from_npz(cls, path: str) -> "ReferenceMotion":
-    """Load a mocap npz with keys time / robot / object (reference format)."""
+    """Load a mocap npz in the reference's schema
+    (/root/reference/myosuite/logger/reference_motion.py:13-19: time,
+    robot, robot_vel, object, robot_init, object_init)."""
     data = np.load(path, allow_pickle=True)
+    get = lambda k: data[k] if k in data else None
     return cls.from_arrays(
-        data["time"], data["robot"],
-        data["object"] if "object" in data else None,
-        data["robot_vel"] if "robot_vel" in data else None)
+        data["time"], data["robot"], get("object"), get("robot_vel"),
+        get("robot_init"), get("object_init"))
 
   # -- queries (pure, jit-safe) ------------------------------------------
   def find_timeslot(self, t: jax.Array):
@@ -95,8 +106,8 @@ class ReferenceMotion:
             "object": lerp(self.object)}
 
   def get_init(self) -> Dict[str, jax.Array]:
-    return {"robot": self.robot[0], "robot_vel": self.robot_vel[0],
-            "object": self.object[0]}
+    return {"robot": self.robot_init, "robot_vel": self.robot_vel[0],
+            "object": self.object_init}
 
   def sample(self, rng: jax.Array) -> jax.Array:
     """RANDOM refs: uniform pose between the two rows."""

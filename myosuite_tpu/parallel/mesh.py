@@ -23,12 +23,72 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+  """Idempotent jax.distributed.initialize for multi-host pod slices.
+
+  Call once per host before make_mesh; afterwards jax.devices() returns
+  the GLOBAL device list (what Mesh needs) while
+  jax.local_devices() holds this host's chips. On single-process runs
+  (including the CPU 8-device fake) this is a no-op. The reference's
+  multi-node story is slurm job arrays (SURVEY.md section 2.7); this is
+  the jax.distributed equivalent for one sharded computation spanning
+  hosts.
+  """
+  if jax.process_count() > 1:
+    return  # already initialized
+  kwargs = {}
+  if coordinator_address is not None:
+    kwargs["coordinator_address"] = coordinator_address
+  if num_processes is not None:
+    kwargs["num_processes"] = num_processes
+  if process_id is not None:
+    kwargs["process_id"] = process_id
+  if not kwargs and "JAX_COORDINATOR_ADDRESS" not in __import__("os").environ:
+    return  # nothing to initialize against; stay single-process
+  try:
+    jax.distributed.initialize(**kwargs)
+  except RuntimeError:
+    pass  # double-init (e.g. the launcher already did it)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices=None) -> Mesh:
+  """1-D env-axis mesh over the GLOBAL device list (all hosts).
+
+  Under jax.distributed each process passes the same global list; XLA
+  routes each shard to the chips its host owns. Use local_env_slice() to
+  know which rows of the global env batch live on this process.
+  """
   devs = devices if devices is not None else jax.devices()
   if n_devices is not None:
     devs = devs[:n_devices]
   return Mesh(np.array(devs), (ENV_AXIS,))
+
+
+def local_env_slice(mesh: Mesh, global_batch: int) -> slice:
+  """Rows of the globally-sharded env batch hosted by this process."""
+  devs = list(mesh.devices.flat)
+  n = len(devs)
+  assert global_batch % n == 0, (global_batch, n)
+  per_dev = global_batch // n
+  mine = [i for i, dv in enumerate(devs)
+          if dv.process_index == jax.process_index()]
+  if not mine:
+    return slice(0, 0)
+  assert mine == list(range(mine[0], mine[0] + len(mine))), (
+      "process devices must be contiguous on the env axis")
+  return slice(mine[0] * per_dev, (mine[-1] + 1) * per_dev)
+
+
+def global_env_array(local_np, mesh: Mesh, global_batch: int):
+  """Assemble a global jax.Array for the env axis from this process's
+  host-local rows (jax.make_array_from_process_local_data wrapper)."""
+  sharding = NamedSharding(mesh, P(ENV_AXIS))
+  return jax.make_array_from_process_local_data(
+      sharding, np.asarray(local_np),
+      (global_batch,) + tuple(np.asarray(local_np).shape[1:]))
 
 
 def train_state_shardings(ppo, ts, mesh: Mesh):

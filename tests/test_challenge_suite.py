@@ -1,0 +1,137 @@
+"""Challenge-family behavioral tests, in the DEFAULT suite.
+
+VERDICT r3 #5: nothing in CI ever stepped ChaseTag / Soccer / RunTrack /
+Relocate / Die / Baoding. Each test here steps the env and asserts one
+family-specific behavior (reference anchors:
+/root/reference/myosuite/envs/myo/myochallenge/*.py):
+  * ChaseTag   — the scripted opponent moves (chasetag_v0.py:119-210)
+  * Soccer     — ball-in-goal detection fires / keeper blocks
+                 (soccer_v0.py:19-201)
+  * RunTrack   — the OSL FSM leaves its initial phase during a driven
+                 rollout (myoosl_control.py:296)
+  * Relocate   — object physics is live (falls under gravity toward the
+                 pedestal) and success is goal proximity
+  * Die        — goal rotation is consumed by the reward (rot_err)
+  * Baoding    — targets advance along the goal trajectory every step
+                 (baoding_v1.py:148-182)
+
+Bimanual/TableTennis (full myoArm scenes, much heavier CPU compiles) stay
+in test_challenge_new.py behind MTX_TEST=FULL.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import myosuite_tpu
+
+
+def _rollout(env, n, action_fn=None, seed=0):
+  s = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+  step = jax.jit(env.step)
+  states = [s]
+  for i in range(n):
+    a = (action_fn(i) if action_fn
+         else jnp.zeros(env.action_size, dtype=jnp.float32))
+    s = step(s, a)
+    states.append(s)
+  assert np.isfinite(np.asarray(s.obs["state"])).all()
+  assert np.isfinite(float(s.reward))
+  return states
+
+
+def test_chasetag_opponent_moves():
+  env = myosuite_tpu.make("MtxChaseTag-v0")
+  states = _rollout(env, 6)
+  poses = np.stack([np.asarray(st.info["opponent"].pose) for st in states])
+  # the scripted opponent advances between control steps
+  deltas = np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=-1)
+  assert (deltas > 1e-5).any(), poses
+  # distance-to-opponent feeds the reward
+  assert "solved" in states[-1].metrics
+
+
+def test_soccer_goal_detection():
+  env = myosuite_tpu.make("MtxSoccer-v0")
+  states = _rollout(env, 2)
+  s = states[-1]
+  cfg = env._config
+  keeper = s.info["keeper"]
+
+  # teleport the ball past the goal line, far from the keeper's reach
+  far_y = float(np.asarray(keeper.pose[0])) + cfg.keeper_reach * 2.0
+  far_y = float(np.clip(far_y, -cfg.goal_half_width + 0.01,
+                        cfg.goal_half_width - 0.01))
+  qpos = s.data.qpos.at[env._ball_qadr].set(cfg.goal_x + 0.2)
+  qpos = qpos.at[env._ball_qadr + 1].set(far_y)
+  scored = env._goal_scored(s.data.replace(qpos=qpos), keeper)
+  assert float(scored) == 1.0
+
+  # keeper standing exactly on the ball line blocks the goal
+  blocked_y = float(np.asarray(keeper.pose[0]))
+  qpos2 = s.data.qpos.at[env._ball_qadr].set(cfg.goal_x + 0.2)
+  qpos2 = qpos2.at[env._ball_qadr + 1].set(blocked_y)
+  in_reach = abs(blocked_y - blocked_y) < cfg.keeper_reach
+  assert in_reach
+  assert float(env._goal_scored(s.data.replace(qpos=qpos2), keeper)) == 0.0
+
+  # ball wide of the posts is no goal
+  qpos3 = s.data.qpos.at[env._ball_qadr].set(cfg.goal_x + 0.2)
+  qpos3 = qpos3.at[env._ball_qadr + 1].set(cfg.goal_half_width + 0.5)
+  assert float(env._goal_scored(s.data.replace(qpos=qpos3), keeper)) == 0.0
+
+
+def test_runtrack_osl_phase_cycles():
+  env = myosuite_tpu.make("MtxRunTrack-v0")
+  # OSL motors are internal: policy space excludes the 2 prosthetic motors
+  assert env.action_size == env.model.nu - 2
+
+  def drive(i):
+    # crude alternating hip drive to load/unload the prosthetic side
+    phase = 2 * np.pi * i / 20.0
+    a = 0.3 + 0.3 * np.sin(phase)
+    return jnp.full((env.action_size,), jnp.float32(a))
+
+  states = _rollout(env, 40, action_fn=drive)
+  phases = {int(np.asarray(st.info["osl_phase"])) for st in states}
+  assert phases <= {0, 1, 2, 3}
+  # the FSM must transition at least once during the driven rollout
+  assert len(phases) >= 2, phases
+
+
+def test_relocate_object_physics_and_success():
+  env = myosuite_tpu.make("MtxRelocate-v0")
+  states = _rollout(env, 4)
+  s0, sN = states[0], states[-1]
+  # the object is simulated: free-joint z evolves under gravity/contact
+  z0 = float(np.asarray(s0.data.qpos[env._obj_qadr + 2]))
+  zN = float(np.asarray(sN.data.qpos[env._obj_qadr + 2]))
+  assert abs(zN - z0) > 1e-5
+  # success = object within proximity of the (randomized) goal
+  assert "solved" in sN.metrics
+  assert float(sN.metrics["solved"]) in (0.0, 1.0)
+
+
+def test_die_reorient_goal_consumed():
+  env = myosuite_tpu.make("MtxHandDieReorient-v0")
+  states = _rollout(env, 3)
+  s = states[-1]
+  assert "goal_quat" in s.info
+  # same state, two different goals -> different rewards (rot_err is live)
+  r1 = env._get_rewards(s.data, s.info)
+  flip = jnp.array([0.0, 1.0, 0.0, 0.0], dtype=jnp.float32)
+  r2 = env._get_rewards(s.data, {**s.info, "goal_quat": flip})
+  assert any(
+      abs(float(r1[k]) - float(r2[k])) > 1e-6 for k in r1), (r1, r2)
+
+
+def test_baoding_targets_advance():
+  env = myosuite_tpu.make("MtxHandBaoding-v0")
+  states = _rollout(env, 3)
+  phases = [float(np.asarray(st.info["phase"])) for st in states]
+  diffs = np.diff(phases)
+  goal_speed = float(env._config.goal_speed)
+  # targets advance by goal_speed every control step (baoding_v1
+  # create_goal_trajectory role)
+  np.testing.assert_allclose(diffs, goal_speed, atol=1e-5)
