@@ -1,2 +1,3 @@
-from myosuite_tpu.renderer.renderer import (Renderer, render_qpos_sequence,
+from myosuite_tpu.renderer.renderer import (PassiveViewer, Renderer,
+                                            render_qpos_sequence,
                                             render_rollout)

@@ -19,8 +19,12 @@ import os
 
 
 def rollout_episodes(env, policy_fn, num_episodes: int, horizon: int,
-                     seed: int = 0, collect_data: bool = False):
-  """Host-driven episode loop; returns (paths, success_rate)."""
+                     seed: int = 0, collect_data: bool = False,
+                     viewer=None):
+  """Host-driven episode loop; returns (paths, success_rate).
+
+  `viewer`: optional renderer.PassiveViewer — each step is displayed in
+  the interactive window (reference examine_policy onscreen mode)."""
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -47,6 +51,10 @@ def rollout_episodes(env, policy_fn, num_episodes: int, horizon: int,
       solved_steps += solved > 0
       if collect_data:
         path["data"].append(jax.device_get(state.data))
+      if viewer is not None:
+        if not viewer.is_running():
+          break
+        viewer.sync(state.data)
       if float(state.done) > 0:
         break
     # success = solved held for > 5 steps (reference evaluate_success)
@@ -66,6 +74,10 @@ def main(argv=None):
   parser.add_argument("--seed", type=int, default=0)
   parser.add_argument("--trace", default=None, help="save rollout h5 here")
   parser.add_argument("--video", default=None, help="save mp4 here")
+  parser.add_argument("--render", default="none",
+                      choices=["none", "onscreen"],
+                      help="onscreen: interactive passive-viewer window "
+                           "(reference mj_renderer.py:50-79 role)")
   args = parser.parse_args(argv)
 
   import jax
@@ -81,7 +93,10 @@ def main(argv=None):
     from myosuite_tpu.train import checkpoint, ppo as ppo_mod
     ppo = ppo_mod.PPO(env)
     ts = ppo.init(jax.random.PRNGKey(0))
-    ts = checkpoint.restore(args.policy_path, ts)
+    try:   # shipped pretrained artifacts are learner-only checkpoints
+      ts = checkpoint.restore_learner(args.policy_path, ts)
+    except Exception:
+      ts = checkpoint.restore(args.policy_path, ts)
     pol = ppo.make_policy_fn(deterministic=True)
     policy_fn = jax.jit(lambda obs, rng: pol(ts, obs))
   else:
@@ -90,9 +105,20 @@ def main(argv=None):
         lambda obs, rng: jax.random.uniform(rng, (nu,), minval=-1.0,
                                             maxval=1.0))
 
+  viewer = None
+  if args.render == "onscreen":
+    from myosuite_tpu.renderer import PassiveViewer
+    try:
+      viewer = PassiveViewer(env)
+    except Exception as e:   # headless box: report and fall back
+      print(f"onscreen viewer unavailable ({e}); running headless")
+
   collect = bool(args.video)
   paths, success = rollout_episodes(env, policy_fn, args.num_episodes,
-                                    horizon, args.seed, collect)
+                                    horizon, args.seed, collect,
+                                    viewer=viewer)
+  if viewer is not None:
+    viewer.close()
   rewards = [float(np.sum(p["reward"])) for p in paths]
   print(f"episodes: {len(paths)}  success%: {100*success:.1f}  "
         f"mean return: {np.mean(rewards):.2f}")
