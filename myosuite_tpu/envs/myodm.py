@@ -182,18 +182,57 @@ TRACK_SPECS = (
 PALM = np.array([-0.15, 0.0, 1.245])
 
 
+def _hull_vertices(gtype: str, size_str: str):
+  """Convex-hull vertex cloud for a box/cylinder proxy (None = keep the
+  primitive: sphere/capsule contacts are exact and supported)."""
+  dims = [float(x) for x in size_str.split()]
+  if gtype == "box":
+    sx, sy, sz = dims
+    return [(ix * sx, iy * sy, iz * sz)
+            for ix in (-1, 1) for iy in (-1, 1) for iz in (-1, 1)]
+  if gtype == "cylinder":
+    r, h = dims
+    return [(r * np.cos(a), r * np.sin(a), s * h)
+            for s in (-1, 1)
+            for a in np.linspace(0.0, 2 * np.pi, 12, endpoint=False)]
+  return None
+
+
 def object_snippet(obj_name: str) -> str:
-  """MJCF body for a GRAB object proxy (freejoint + one primitive geom)."""
+  """MJCF body for a GRAB object proxy.
+
+  Box/cylinder shapes become convex MESH geoms (the reference's GRAB
+  objects are meshes, myodm/__init__.py:49-70), exercising the engine's
+  mesh contact kernels; spheres/capsules stay primitives (exact kernels
+  exist). Cylinders in particular had NO primitive contact kernel, so the
+  mesh hull is also a correctness upgrade."""
   gtype, size, mass = GRAB_OBJECTS[obj_name]
+  verts = _hull_vertices(gtype, size)
+  if verts is None:
+    geom = (f'<geom name="object_geom" type="{gtype}" size="{size}" '
+            f'mass="{mass}"')
+  else:
+    geom = (f'<geom name="object_geom" type="mesh" mesh="grab_{obj_name}" '
+            f'mass="{mass}"')
   return f"""
     <body name="object" pos="{{ox}} {{oy}} {{oz}}">
       <freejoint name="object_free"/>
-      <geom name="object_geom" type="{gtype}" size="{size}" mass="{mass}"
+      {geom}
             contype="2" conaffinity="5" friction="1 0.01 0.0005"
             solref="0.015 1" condim="3"/>
       <site name="object_site" pos="0 0 0" size="0.005"/>
     </body>
 """
+
+
+def object_asset(obj_name: str) -> str:
+  """<asset> mesh entry for the object, '' when it stays a primitive."""
+  gtype, size, _ = GRAB_OBJECTS[obj_name]
+  verts = _hull_vertices(gtype, size)
+  if verts is None:
+    return ""
+  flat = "  ".join(f"{x:.5f} {y:.5f} {z:.5f}" for x, y, z in verts)
+  return f'<mesh name="grab_{obj_name}" vertex="{flat}"/>'
 
 
 def _smoothstep(u: np.ndarray) -> np.ndarray:
@@ -294,6 +333,7 @@ def scene_xml(obj_name: str) -> str:
   from myosuite_tpu.assets import builder, hand
   key = f"grab_{obj_name}"
   hand.OBJECT_SNIPPETS[key] = object_snippet(obj_name)
+  hand.OBJECT_ASSETS[key] = object_asset(obj_name)
   return builder.finalize_muscles(hand.build_hand(palm_up=True, obj=key))
 
 
