@@ -22,7 +22,7 @@ import os
 
 
 def run_job(env_name: str, seed: int, out_dir: str, num_timesteps: int,
-            num_envs: int, num_evals: int) -> dict:
+            num_envs: int, num_evals: int, algo: str = "ppo") -> dict:
   import jax
 
   import myosuite_tpu
@@ -31,6 +31,36 @@ def run_job(env_name: str, seed: int, out_dir: str, num_timesteps: int,
 
   os.makedirs(out_dir, exist_ok=True)
   env = myosuite_tpu.make(env_name)
+
+  if algo in ("sac", "npg"):
+    # off-policy / natural-gradient stacks share the simple driver API
+    from myosuite_tpu.train import npg as npg_mod
+    from myosuite_tpu.train import sac as sac_mod
+    mod = sac_mod if algo == "sac" else npg_mod
+    cfg = mod.default_config()
+    cfg.num_timesteps = num_timesteps
+    cfg.num_evals = num_evals
+    cfg.seed = seed
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+      json.dump({"env": env_name, "seed": seed, "algo": algo,
+                 **cfg.to_dict()}, f, indent=2)
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+
+    def progress(steps, m):
+      with open(metrics_path, "a") as f:
+        f.write(json.dumps({"steps": steps,
+                            **{k: float(v) for k, v in m.items()}}) + "\n")
+
+    trainer, ts = mod.train(env, cfg, progress_fn=progress)
+    from myosuite_tpu.train import checkpoint
+    checkpoint.save(os.path.join(out_dir, "final"), ts,
+                    step=int(ts.env_steps))
+    result = {"env": env_name, "seed": seed, "algo": algo,
+              "steps": int(ts.env_steps)}
+    with open(os.path.join(out_dir, "result.json"), "w") as f:
+      json.dump(result, f, indent=2)
+    return result
+
   cfg = ppo_mod.default_config()
   cfg.num_timesteps = num_timesteps
   cfg.num_envs = num_envs
@@ -70,6 +100,8 @@ def main(argv=None):
   parser.add_argument("--num_envs", type=int, default=2048)
   parser.add_argument("--num_evals", type=int, default=20)
   parser.add_argument("--output_dir", default="./sweep_output")
+  parser.add_argument("--algo", choices=("ppo", "sac", "npg"),
+                      default="ppo")
   args = parser.parse_args(argv)
 
   results = []
@@ -79,7 +111,7 @@ def main(argv=None):
                          f"{env_name.replace('-', '_')}_seed{seed}")
       print(f"=== {env_name} seed {seed} -> {out}")
       results.append(run_job(env_name, seed, out, args.num_timesteps,
-                             args.num_envs, args.num_evals))
+                             args.num_envs, args.num_evals, args.algo))
   print(json.dumps([{k: v for k, v in r.items() if k != "eval_history"}
                     for r in results], indent=2))
   os._exit(0)  # bypass slow TPU-plugin atexit teardown

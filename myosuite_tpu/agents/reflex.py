@@ -43,6 +43,10 @@ class ReflexParams(NamedTuple):
   g_hfl: jax.Array      # swing hip flexor drive
   g_ham: jax.Array      # late-swing hamstring F+ gain
   s0: jax.Array         # baseline stimulation
+  g_bfsh: jax.Array     # early-swing knee flexion (ground clearance)
+  g_retract: jax.Array  # late-swing leg retraction vs hip angle
+  g_kick: jax.Array     # gait-initiation impulse (left leg, ~first 0.4 s)
+  k_swing: jax.Array    # load-difference swing-gate sharpness
 
 
 def default_params() -> ReflexParams:
@@ -52,7 +56,10 @@ def default_params() -> ReflexParams:
       g_sol=f(1.2 / 4000), g_gas=f(1.1 / 1500), g_vas=f(1.2 / 6000),
       g_gmax=f(1.0 / 1500), g_ta=f(1.1), l_off_ta=f(0.71),
       g_solta=f(0.0003), g_hip_p=f(1.9), g_hip_d=f(0.25),
-      theta_ref=f(0.105), g_hfl=f(0.45), g_ham=f(1.0 / 3000), s0=f(0.01))
+      theta_ref=f(0.105), g_hfl=f(0.45), g_ham=f(1.0 / 3000), s0=f(0.01),
+      # new-pathway gains seed small: the multiplicative ES tuner scales
+      # them up if stepping pays off, down toward zero if it does not
+      g_bfsh=f(0.1), g_retract=f(0.1), g_kick=f(0.1), k_swing=f(8.0))
 
 
 _GROUPS = {
@@ -63,6 +70,7 @@ _GROUPS = {
     "ta": ("TA", "EDL", "EHL"),
     "hfl": ("PSOAS", "ILIACUS", "RF", "SAR", "TFL"),
     "ham": ("SEMIMEM", "SEMITEN", "BFLH", "BFSH"),
+    "bfsh": ("BFSH",),
     "hab": ("GMED1", "GMED2", "GMED3", "GMIN"),
     "had": ("ADDLONG", "ADDBREV", "ADDMAG1", "ADDMAG2", "ADDMAG3", "GRA"),
 }
@@ -97,6 +105,12 @@ class ReflexController:
       feet = [f"{side}_heel_geom", f"{side}_foot_geom", f"{side}_toes_geom"]
       self._grf[side] = contact_slot_mask(env.model, _geom_ids(mj, feet))
     self._weight = float(np.sum(mj.body_mass)) * 9.81
+    # hip-flexion qpos address per side (late-swing retraction signal)
+    self._hip_qadr = {}
+    for side in ("r", "l"):
+      jid = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_JOINT.value,
+                              f"{side}_hip_flexion")
+      self._hip_qadr[side] = int(mj.jnt_qposadr[jid]) if jid >= 0 else -1
 
   def _trunk_pitch(self, data):
     q = data.qpos[3:7]   # free-root quaternion
@@ -115,11 +129,33 @@ class ReflexController:
         self._env.model.actuator_length0, 1e-6)
 
     stim = jnp.full((self._nu,), p.s0)
+    loads = {s: jnp.dot(self._grf[s], data.contact_force) / self._weight
+             for s in ("r", "l")}
+    # gait initiation: a brief open-loop impulse that lifts the left leg
+    # and pushes off the right — breaks the symmetric two-legged stance the
+    # closed loop can never leave on its own (both loads identical =>
+    # swing gates stay shut). Gaussian bump centered at 0.25 s.
+    kick = jnp.exp(-((data.time - 0.25) / 0.12) ** 2)
     for side in ("r", "l"):
       mk = self._masks[side]
-      load = jnp.dot(self._grf[side], data.contact_force) / self._weight
+      load = loads[side]
       stance = jnp.clip(load * 5.0, 0.0, 1.0)   # smooth stance gate
+      # contralateral stance gate: swing initiation only once the other
+      # leg carries load (Song & Geyer double-support suppression)
+      contra = jnp.clip(loads["l" if side == "r" else "r"] * 5.0, 0.0, 1.0)
       swing = 1.0 - stance
+      # asymmetry gate for the NEW pathways only: opens when this leg
+      # unloads while the other carries weight (per-leg state machine
+      # role); k_swing tunes its sharpness. Zero new-pathway gains
+      # recover the previous controller exactly.
+      asym = jax.nn.sigmoid(
+          p.k_swing * (loads["l" if side == "r" else "r"] - load) - 1.0)
+      hipq = (data.qpos[self._hip_qadr[side]]
+              if self._hip_qadr[side] >= 0 else jnp.float32(0.0))
+      if side == "l":
+        stim = stim + p.g_kick * kick * (mk["hfl"] + 0.7 * mk["bfsh"])
+      else:
+        stim = stim + p.g_kick * kick * 0.6 * (mk["sol"] + mk["gas"])
 
       def fplus(gain, mask):
         """Positive force feedback of the group's own force."""
@@ -146,8 +182,16 @@ class ReflexController:
           p.g_ta * (ta_l - p.l_off_ta) - stance * p.g_solta * sol_f, 0.0)
       # M4: swing hip flexor drive
       stim = stim + swing * mk["hfl"] * p.g_hfl
-      # M5: late-swing hamstring retraction
+      # M4b: early-swing knee flexion for ground clearance (BFSH) —
+      # active while the swing leg is still behind (hip not yet flexed);
+      # gated by the load-asymmetry signal and contralateral support
+      stim = stim + asym * contra * mk["bfsh"] * (
+          p.g_bfsh * jnp.maximum(0.4 - hipq, 0.0))
+      # M5: late-swing hamstring retraction (force feedback + hip-angle
+      # proportional leg retraction once the leg is well forward)
       stim = stim + swing * mk["ham"] * fplus(p.g_ham, mk["ham"])
+      retract = p.g_retract * jnp.maximum(hipq - 0.45, 0.0)
+      stim = stim + asym * retract * (mk["ham"] + 0.5 * mk["gmax"])
       # lateral stability: abductors against pelvis roll
       roll = data.qpos[4] if data.qpos.shape[0] > 4 else jnp.float32(0.0)
       sign = 1.0 if side == "r" else -1.0

@@ -174,7 +174,9 @@ class ChaseTagEnv(_LegChallengeEnv):
     return (jnp.abs(data.qpos[0]) > half) | (jnp.abs(data.qpos[1]) > half)
 
   def _lose(self, data: Data) -> jax.Array:
-    return jnp.float32(self._fallen(data) | self._out_of_bounds(data))
+    # _fallen is float32 (locomotion.py contract); combine as max, not |
+    return jnp.maximum(self._fallen(data),
+                       jnp.float32(self._out_of_bounds(data)))
 
   def _win(self, state: State) -> jax.Array:
     dist = self._opp_dist(state.data, state.info)

@@ -38,9 +38,9 @@ class VisualObs:
 
     self._env = env
     self._keys = [(k,) + parse_visual_key(k) for k in visual_keys]
+    # renderers are created lazily on first get_visuals so headless hosts
+    # can construct visual envs (and hit encoder errors) without GL
     self._renderers: Dict[tuple, Renderer] = {}
-    for _, _, cam, (h, w), _ in self._keys:
-      self._renderers.setdefault((h, w), Renderer(env, width=w, height=h))
     self._encoders: Dict[str, Callable] = {}
     custom = custom_encoders or {}
     for _, channel, cam, hw, enc in self._keys:
@@ -55,7 +55,13 @@ class VisualObs:
     if name == "2d":
       return lambda img: np.asarray(img)
     if name in ("rrl18", "rrl34", "resnet18", "resnet34"):
-      return _torch_resnet_encoder(name)
+      try:
+        import torchvision  # noqa: F401 — optional pretrained path
+        return _torch_resnet_encoder(name)
+      except ImportError:
+        # TPU-native default: flax trunk, deterministic init, jitted
+        from myosuite_tpu.envs.visual_nets import make_resnet_encoder
+        return make_resnet_encoder(name)
     if name.startswith(("r3m", "vc1")):
       raise ValueError(
           f"encoder {name!r} needs external pretrained checkpoints "
@@ -65,9 +71,13 @@ class VisualObs:
 
   def get_visuals(self, data) -> Dict[str, np.ndarray]:
     """Render + encode every visual key for one env state (host-side)."""
+    from myosuite_tpu.renderer import Renderer
     out = {}
     synced = set()
     for key, channel, cam, hw, enc in self._keys:
+      if hw not in self._renderers:
+        h, w = hw
+        self._renderers[hw] = Renderer(self._env, width=w, height=h)
       r = self._renderers[hw]
       if hw not in synced:
         r.sync(data)

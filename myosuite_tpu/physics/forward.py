@@ -25,7 +25,7 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = tendon.tendon(m, d)
   d = actuation.transmission(m, d)
   d = smooth.crb(m, d)
-  if not solver.fused_path():
+  if not solver.fused_path(m):
     # fused path: the Pallas solver factorizes qM in-kernel; the XLA-side
     # unrolled Cholesky (~nv scatter-broken fusions) is dead weight there
     d = smooth.factor_m(m, d)
@@ -49,7 +49,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 def fwd_acceleration(m: Model, d: Data) -> Data:
   qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
                  + d.qfrc_applied + xfrc_projection(m, d))
-  if solver.fused_path():
+  if solver.fused_path(m):
     # qacc_smooth comes out of the fused solver kernel in fwd_constraint
     return d.replace(qfrc_smooth=qfrc_smooth)
   qacc_smooth = smooth.solve_m(d, qfrc_smooth)
@@ -185,7 +185,7 @@ def euler(m: Model, d: Data) -> Data:
   h = m.opt.timestep
   act = _integrate_act(m, d, h)
 
-  if solver.fused_path():
+  if solver.fused_path(m):
     # the fused Pallas solver already solved (qM + h diag(damping)) qacc =
     # qfrc_smooth + qfrc_constraint in-kernel
     qacc = d.qacc_euler

@@ -264,6 +264,12 @@ def solve_batched(qM, J, aref, R, floss, active, warm, qfrc_smooth, damph,
       kernel,
       grid=(nb,),
       interpret=interpret,
+      # Mosaic's default 16 MiB scoped-VMEM cap OOMs once the grid double-
+      # buffers blocks of a big model (observed: myoLeg nv=20/nefc=54 at
+      # nb>=2 needs 22.5 MiB). Give the kernel most of the chip's VMEM;
+      # solver._pallas_fits keeps truly oversized models off this path.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       in_specs=[mat_spec(nv, nv), mat_spec(nefc, nv), vec_spec(nefc),
                 vec_spec(nefc), vec_spec(nefc), vec_spec(nefc),
                 vec_spec(nv), vec_spec(nv), vec_spec(nv)],

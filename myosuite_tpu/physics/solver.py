@@ -15,7 +15,7 @@ iterations=6 / ls_iterations=6 for exactly this reason
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
   except RuntimeError:
     return False
+
+
+def _pallas_fits(nv: int, nefc: int, budget_bytes: float = 96e6) -> bool:
+  """Conservative VMEM estimate for one 1024-env kernel block.
+
+  The kernel keeps J plus ~2 J-sized temporaries (Jw, per-row Hessian
+  products), the qM/hess/Cholesky tiles, and a handful of nefc/nv vectors
+  resident per (8, 128) env tile. Models whose (nv, nefc) blow the ~128 MB
+  v5e VMEM (observed: myoLeg at nefc of a few hundred rows) fall back to
+  the XLA path instead of failing to compile with a Mosaic stack OOM."""
+  per_env_floats = 3 * nv * nv + 3 * nefc * nv + 10 * nefc + 16 * nv
+  return per_env_floats * 4 * 1024 <= budget_bytes
 
 
 def newton_xla(qM: jax.Array, efc: Efc, warm: jax.Array,
@@ -119,11 +131,20 @@ def newton_xla(qM: jax.Array, efc: Efc, warm: jax.Array,
   return a, qfrc_constraint, force
 
 
-def fused_path() -> bool:
+def fused_path(m: Optional[Model] = None) -> bool:
   """True when the Pallas kernel also computes qacc_smooth and the
   implicit-damping Euler acceleration (so the XLA graph skips mj_factorM /
-  mj_solveM / the integrator's second Cholesky entirely)."""
-  return _use_pallas()
+  mj_solveM / the integrator's second Cholesky entirely).
+
+  Must agree with the dispatch in solve(): when the model's (nv, nefc)
+  footprint exceeds the kernel's VMEM budget the whole pipeline stays on
+  the XLA path, so pass the model whenever it is in scope."""
+  if not _use_pallas():
+    return False
+  if m is None:
+    return True
+  from myosuite_tpu.physics import constraint as constraint_mod
+  return _pallas_fits(m.nv, constraint_mod._efc_plan(m).nefc)
 
 
 def solve(m: Model, d: Data, efc: Efc
@@ -135,7 +156,7 @@ def solve(m: Model, d: Data, efc: Efc
   come out of the kernel."""
   dtype = d.qpos.dtype
   if efc.J.shape[0] == 0:
-    if fused_path():
+    if fused_path(m):
       damph = m.opt.timestep * m.dof_damping
       a_smooth = linalg.solve_pd(d.qM, d.qfrc_smooth)
       qacc_euler = linalg.solve_pd(d.qM + jnp.diag(damph), d.qfrc_smooth)
@@ -144,7 +165,7 @@ def solve(m: Model, d: Data, efc: Efc
     return (d.qacc_smooth, jnp.zeros(m.nv, dtype=dtype),
             jnp.zeros(0, dtype=dtype), None, None)
 
-  if _use_pallas():
+  if _use_pallas() and _pallas_fits(m.nv, efc.J.shape[0]):
     from myosuite_tpu.physics import pallas_solver
     fn = pallas_solver.solve_entry(
         tuple(bool(x) for x in np.asarray(efc.is_friction)),

@@ -52,16 +52,19 @@ class FallbackCheckpoint(Callback):
   """Periodically save the train state so a crashed run resumes
   (reference FallbackCheckpoint, in_callbacks.py:38-47)."""
 
-  def __init__(self, ckpt_dir: str, every: int = 10):
+  def __init__(self, ckpt_dir: str, every: int = 10,
+               learner_only: bool = False):
     self._dir = ckpt_dir
     self._every = every
+    self._learner_only = learner_only
 
   def on_iteration(self, it, env_steps, metrics, ppo, ts):
     if it % self._every:
       return
     from myosuite_tpu.train import checkpoint
     os.makedirs(self._dir, exist_ok=True)
-    checkpoint.save(self._dir, ts, step=env_steps)
+    checkpoint.save(self._dir, ts, step=env_steps,
+                    learner_only=self._learner_only)
 
 
 class EvalCallback(Callback):

@@ -28,6 +28,10 @@ def main():
                                                "MtxFingerPoseRandom-v0"])
   p.add_argument("--num_timesteps", type=int, default=4_000_000)
   p.add_argument("--num_envs", type=int, default=2048)
+  p.add_argument("--num_evals", type=int, default=10,
+                 help="outer eval points; also bounds each jitted train "
+                      "call's device time (long single calls can trip "
+                      "remote-TPU watchdogs)")
   p.add_argument("--out", default=None)
   args = p.parse_args()
 
@@ -47,10 +51,15 @@ def main():
     cfg = ppo_mod.default_config()
     cfg.num_timesteps = args.num_timesteps
     cfg.num_envs = args.num_envs
-    cfg.num_evals = 10
+    cfg.num_evals = args.num_evals
     eval_cb = cb.EvalCallback(env, num_episodes=16, every=3)
+    out = os.path.abspath(os.path.join(root, env_name.replace("-", "_")))
+    # crash resilience: remote-TPU tunnels can die mid-run; keep a rolling
+    # learner checkpoint so a near-final policy is never lost
+    fallback_cb = cb.FallbackCheckpoint(os.path.join(out, "fallback"),
+                                        every=3, learner_only=True)
     ppo, ts, stats = ppo_mod.train(
-        env, cfg, callbacks=[cb.InfoCallback(), eval_cb])
+        env, cfg, callbacks=[cb.InfoCallback(), eval_cb, fallback_cb])
     # final eval so the summary reflects the shipped params
     eval_cb.on_iteration(0, stats["steps"], {}, ppo, ts)
     out = os.path.abspath(os.path.join(root, env_name.replace("-", "_")))

@@ -39,6 +39,8 @@ def main():
   p.add_argument("--pop", type=int, default=256)
   p.add_argument("--horizon", type=int, default=300)   # 6 s at dt=0.02
   p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--spread", type=float, default=0.3,
+                 help="log-normal spread of the initial population")
   p.add_argument("--out", default=None)
   args = p.parse_args()
 
@@ -92,13 +94,17 @@ def main():
   if os.path.exists(out_path):   # warm start from the committed champion
     with open(out_path) as f:
       prev = json.load(f)["params"]
-    flat0 = jnp.asarray([prev[k] for k in reflex_mod.ReflexParams._fields],
+    # fields added since the champion was tuned fall back to defaults
+    merged = {k: float(v) for k, v in
+              zip(reflex_mod.ReflexParams._fields, flat0)}
+    merged.update(prev)
+    flat0 = jnp.asarray([merged[k] for k in reflex_mod.ReflexParams._fields],
                         dtype=jnp.float32)
     print("warm start from", out_path, flush=True)
   pop = jnp.tile(flat0[None], (args.pop, 1))
   rng, r0 = jax.random.split(rng)
   # log-normal spread around the starting point
-  pop = pop * jnp.exp(0.3 * jax.random.normal(r0, pop.shape))
+  pop = pop * jnp.exp(args.spread * jax.random.normal(r0, pop.shape))
   pop = pop.at[0].set(flat0)
   best, best_fit, best_stats = np.asarray(flat0), -1e9, (0.0, 0.0)
 
