@@ -39,6 +39,7 @@ def run_job(env_name: str, seed: int, out_dir: str, num_timesteps: int,
     mod = sac_mod if algo == "sac" else npg_mod
     cfg = mod.default_config()
     cfg.num_timesteps = num_timesteps
+    cfg.num_envs = num_envs
     cfg.num_evals = num_evals
     cfg.seed = seed
     with open(os.path.join(out_dir, "config.json"), "w") as f:

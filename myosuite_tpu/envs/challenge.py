@@ -354,7 +354,9 @@ class RunTrackEnv(_LegChallengeEnv):
   def step(self, state: State, action: jax.Array) -> State:
     muscles = self.norm_actions(action)
     d = state.data
-    load = self._grf(d)[0]   # prosthetic (right) side load
+    # prosthetic (right) side load in Newtons: params were built with
+    # body_mass, so thresholds are absolute (reference initDefaults)
+    load = self._grf(d)[0] * self._body_weight
     phase, knee_tau, ankle_tau = osl.osl_step(
         state.info["osl_phase"], self._osl_params,
         d.qpos[self._knee_q], d.qvel[self._knee_d],

@@ -43,25 +43,66 @@ class WalkEnv(MyoEnv):
     self._rhip_adr = jadr("r_hip_flexion")
     self._lhip_adr = jadr("l_hip_flexion")
     self._init_height = float(mj.qpos0[2]) if mj.jnt_type[0] == 0 else 0.96
+    self._gait_qpos, self._gait_qvel = self._make_gait_keyframes(mj, jadr)
+
+  def _make_gait_keyframes(self, mj, jadr):
+    """Two mid-gait keyframes (right/left leg in swing) with forward
+    velocity — the role of the reference model's key_qpos[2]/[3] walk
+    keyframes (walk_v0.py:320-351: reset_type 'init' starts from key 2,
+    'random' picks 2 or 3 plus noise). The reference myoLeg ships these
+    in its MJCF; this procedural model derives them from its own joint
+    conventions (hip: negative = anatomical flexion/forward swing,
+    knee: negative lifts the foot forward-up — see assets/leg.py)."""
+    qpos = np.array(mj.qpos0, dtype=np.float64)
+    qvel = np.zeros(mj.nv)
+    qvel[0] = float(self._config.target_velocity)   # forward com velocity
+    frames_q, frames_v = [], []
+    for swing, stance in (("r", "l"), ("l", "r")):
+      q = qpos.copy()
+      q[jadr(f"{swing}_hip_flexion")] = -0.30    # swing thigh forward
+      q[jadr(f"{swing}_knee")] = -0.25           # swing foot clears ground
+      q[jadr(f"{swing}_ankle")] = 0.05
+      q[jadr(f"{stance}_hip_flexion")] = 0.18    # stance thigh behind
+      q[jadr(f"{stance}_knee")] = -0.05
+      q[jadr(f"{stance}_ankle")] = -0.08         # push-off
+      v = qvel.copy()
+      # hips mid-swing: swing leg rotating forward, stance backward
+      frames_q.append(q)
+      frames_v.append(v)
+    return (jnp.asarray(np.stack(frames_q)),
+            jnp.asarray(np.stack(frames_v)))
 
   def _make_xml(self) -> str:
     return self._config.model_xml
 
+  def _reset_pose(self, rng: jax.Array):
+    """Initial (qpos, qvel) per reset_type (walk_v0.py:343-351):
+    'none' -> standing still; 'init' -> walk keyframe (with forward
+    velocity); 'random' -> random walk keyframe + qpos noise that leaves
+    height and root orientation untouched."""
+    m = self._model
+    kind = self._config.get("reset_type", "init")
+    if kind == "none":
+      return jnp.asarray(m.qpos0), jnp.zeros(m.nv)
+    if kind == "init":
+      return self._gait_qpos[0], self._gait_qvel[0]
+    r1, r2 = jax.random.split(rng)
+    k = jax.random.bernoulli(r1).astype(jnp.int32)
+    qpos = self._gait_qpos[k]
+    noise = 0.02 * jax.random.normal(r2, (m.nq,))
+    noise = noise.at[2:7].set(0.0)   # keep height + root quat exact
+    return qpos + noise, self._gait_qvel[k]
+
   def reset(self, rng: jax.Array) -> State:
     rng, r1 = jax.random.split(rng)
-    m = self._model
-    qpos = jnp.asarray(m.qpos0)
-    if self._config.get("reset_type", "init") == "random":
-      noise = jax.random.uniform(r1, (m.nq,), minval=-0.02, maxval=0.02)
-      qpos = qpos + noise.at[:7].set(0.0)
-    qvel = jnp.zeros(m.nv)
+    qpos, qvel = self._reset_pose(r1)
     info = {"rng": rng, "step_count": jnp.int32(0),
             "truncation": jnp.float32(0.0)}
     data = self._make_data(qpos, qvel)
     obs = self._get_obs(data, info)
     zero = jnp.float32(0.0)
     metrics = {"vel_reward": zero, "cyclic_hip": zero, "ref_rot": zero,
-               "joint_angle_rew": zero, "solved": zero}
+               "joint_angle_rew": zero, "solved": zero, "distance": zero}
     return State(data, obs, zero, zero, metrics, info)
 
   # -- gait quantities (walk_v0.py:268-287 semantics) ----------------------
@@ -106,16 +147,23 @@ class WalkEnv(MyoEnv):
 
   def _get_rewards(self, data: Data, info) -> Dict[str, jax.Array]:
     cfg = self._config
-    # gaussian forward-velocity tracking (walk_v0.py:411)
-    vel_err = self._com_vel(data)[0] - cfg.target_velocity
-    vel_reward = jnp.exp(-jnp.square(vel_err) / 0.16)
-    # cyclic hip phasing (walk_v0.py:421): hips out of phase by pi
+    # two-gaussian velocity tracking, exactly walk_v0.py:411-419:
+    # exp(-(vy_target - vy)^2) + exp(-(vx_target - vx)^2); forward is +x
+    # here, lateral +y, so targets are (target_velocity, 0). Max 2.0;
+    # >= 1.0 is the reference's strict `solved` criterion.
+    vel = self._com_vel(data)
+    vel_reward = (jnp.exp(-jnp.square(vel[0] - cfg.target_velocity))
+                  + jnp.exp(-jnp.square(vel[1])))
+    # cyclic hip phasing (walk_v0.py:421-434): desired angles are
+    # 0.8*cos(2*pi*phase + pi) / 0.8*cos(2*pi*phase) for the two hips,
+    # cost = norm(desired - actual)
     phase = self._phase(data)
     amp = cfg.hip_amplitude
-    r_target = amp * jnp.sin(2 * jnp.pi * phase)
-    l_target = amp * jnp.sin(2 * jnp.pi * phase + jnp.pi)
-    cyclic_hip = (jnp.abs(data.qpos[self._rhip_adr] - r_target)
-                  + jnp.abs(data.qpos[self._lhip_adr] - l_target))
+    r_target = amp * jnp.cos(2 * jnp.pi * phase)
+    l_target = amp * jnp.cos(2 * jnp.pi * phase + jnp.pi)
+    cyclic_hip = jnp.sqrt(
+        jnp.square(data.qpos[self._rhip_adr] - r_target)
+        + jnp.square(data.qpos[self._lhip_adr] - l_target) + 1e-12)
     # upright pelvis (walk_v0.py:436)
     rot_mag = jnp.linalg.norm(self._torso_angle(data))
     ref_rot = jnp.exp(-jnp.square(rot_mag) / 0.1)
@@ -146,7 +194,11 @@ class WalkEnv(MyoEnv):
         "cyclic_hip": rewards["cyclic_hip"],
         "ref_rot": rewards["ref_rot"],
         "joint_angle_rew": rewards["joint_angle_rew"],
-        "solved": rewards["vel_reward"] * (1.0 - self._fallen(state.data)),
+        # strict reference criterion (walk_v0.py:312): the two-gaussian
+        # velocity reward must reach 1.0 — actual velocity tracking, not
+        # merely "hasn't fallen"
+        "solved": jnp.float32(rewards["vel_reward"] >= 1.0),
+        "distance": state.data.qpos[0],
     }
 
   def _get_info(self, state: State) -> Dict:
@@ -197,19 +249,14 @@ class TerrainWalkEnv(WalkEnv):
 
   def reset(self, rng: jax.Array) -> State:
     rng, r1, r2 = jax.random.split(rng, 3)
-    m = self._model
-    qpos = jnp.asarray(m.qpos0)
-    if self._config.get("reset_type", "init") == "random":
-      noise = jax.random.uniform(r1, (m.nq,), minval=-0.02, maxval=0.02)
-      qpos = qpos + noise.at[:7].set(0.0)
-    qvel = jnp.zeros(m.nv)
+    qpos, qvel = self._reset_pose(r1)
     info = {"rng": rng, "step_count": jnp.int32(0),
             "truncation": jnp.float32(0.0)}
     data = self._make_data(qpos, qvel, hfield=self._terrain(r2))
     obs = self._get_obs(data, info)
     zero = jnp.float32(0.0)
     metrics = {"vel_reward": zero, "cyclic_hip": zero, "ref_rot": zero,
-               "joint_angle_rew": zero, "solved": zero}
+               "joint_angle_rew": zero, "solved": zero, "distance": zero}
     return State(data, obs, zero, zero, metrics, info)
 
   def _root_yaw(self, data: Data) -> jax.Array:
@@ -261,4 +308,5 @@ class StandEnv(WalkEnv):
             "cyclic_hip": jnp.float32(0.0),
             "ref_rot": jnp.float32(0.0),
             "joint_angle_rew": jnp.float32(0.0),
-            "solved": jnp.float32(height_err < 0.05)}
+            "solved": jnp.float32(height_err < 0.05),
+            "distance": state.data.qpos[0]}

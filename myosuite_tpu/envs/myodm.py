@@ -13,10 +13,10 @@ from npz files with the reference schema
 (myosuite_tpu.logger.reference_motion.ReferenceMotion.from_npz), so real
 GRAB data drops in unchanged.
 
-Each GRAB object is proxied by a primitive geom (sphere/box/capsule/
-cylinder) with object-specific extents and mass — contact-compatible with
-the TPU collision kernels (no mesh contacts; SURVEY.md §7 step 2 defers
-mesh pairs).
+Each GRAB object is proxied by a geom with object-specific extents and
+mass: spheres/capsules use the primitive contact kernels directly, and
+box/cylinder objects get convex mesh hulls (built below, :200-236) that
+run through the convex-mesh contact kernels.
 """
 
 from __future__ import annotations

@@ -80,13 +80,21 @@ class OslParams(NamedTuple):
 
 def make_osl_params(body_mass: float = None, n_sets: int = N_SETS
                     ) -> OslParams:
-  """Default parameter sets. `body_mass` is accepted for API parity with
-  the reference (its body-weight scaling lands in the thresholds, which
-  here are body-weight *fractions* because the env normalizes GRF)."""
-  del body_mass
+  """Default parameter sets.
+
+  `body_mass` (kg): when given, the load thresholds (BW fractions
+  0.25/0.15/0.40 at indices 0/2/5) are scaled to absolute Newtons at
+  body_mass * 9.81, matching the reference's initDefaults
+  (myoosl_control.py:156-230: `0.25 * self.BODY_WEIGHT` etc.) — osl_step
+  must then be fed the raw vertical GRF in Newtons, and a heavier model
+  transitions at proportionally larger absolute loads. When None the
+  thresholds stay body-weight *fractions* and osl_step expects GRF/BW.
+  """
+  thresh1 = _DEFAULT_THRESH.copy()
+  if body_mass is not None:
+    thresh1[[0, 2, 5]] *= float(body_mass) * 9.81
   gains = np.broadcast_to(_DEFAULT_GAINS, (n_sets,) + _DEFAULT_GAINS.shape)
-  thresh = np.broadcast_to(_DEFAULT_THRESH,
-                           (n_sets,) + _DEFAULT_THRESH.shape)
+  thresh = np.broadcast_to(thresh1, (n_sets,) + thresh1.shape)
   return OslParams(jnp.asarray(gains.copy()), jnp.asarray(thresh.copy()))
 
 

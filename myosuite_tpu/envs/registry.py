@@ -407,7 +407,7 @@ def _register_all():
         max_episode_steps=1000,
         target_velocity=1.2,
         gait_period=1.0,
-        hip_amplitude=0.4,
+        hip_amplitude=0.8,   # reference walk_v0.py:426-433 (0.8 rad)
         min_height=0.7,
         max_rot=0.8,
         stand_height=0.96,
@@ -426,8 +426,9 @@ def _register_all():
                          aliases=("myoLegWalk-v0",))
 
   def stand(overrides=None):
-    cfg = walk_cfg(max_episode_steps=300, reward_weights=config_dict.create(
-        reach=1.0, bonus=4.0, penalty=50.0, act_reg=1.0))
+    cfg = walk_cfg(max_episode_steps=300, reset_type="none",
+                   reward_weights=config_dict.create(
+                       reach=1.0, bonus=4.0, penalty=50.0, act_reg=1.0))
     return StandEnv(cfg, overrides)
 
   register_with_variants("MtxLegStand-v0", stand,

@@ -59,7 +59,17 @@ class VisualObs:
         import torchvision  # noqa: F401 — optional pretrained path
         return _torch_resnet_encoder(name)
       except ImportError:
-        # TPU-native default: flax trunk, deterministic init, jitted
+        # TPU-native default: flax trunk, deterministic init, jitted.
+        # This trunk is RANDOMLY initialized (fixed seed), not ImageNet-
+        # pretrained — features differ from the torchvision path, so make
+        # the substitution loud: policies trained against one encoder do
+        # not transfer to the other.
+        import warnings
+        warnings.warn(
+            f"torchvision unavailable: visual encoder {name!r} falls back "
+            "to an untrained fixed-seed flax ResNet trunk (random "
+            "features, NOT ImageNet-pretrained). Pass a custom_encoders "
+            "entry for pretrained features.", RuntimeWarning)
         from myosuite_tpu.envs.visual_nets import make_resnet_encoder
         return make_resnet_encoder(name)
     if name.startswith(("r3m", "vc1")):

@@ -62,20 +62,27 @@ class ResNetTrunk(nn.Module):
     return jnp.mean(x, axis=(1, 2)).squeeze(0)   # (512,)
 
 
-def make_resnet_encoder(name: str,
-                        params: Any = None) -> Callable[[np.ndarray],
-                                                        np.ndarray]:
-  """Jitted (H, W, 3) uint8 -> (512,) float32 feature fn."""
+def make_resnet_encoder(name: str, params: Any = None,
+                        image_shape=(224, 224, 3)) -> Callable[[np.ndarray],
+                                                               np.ndarray]:
+  """Jitted (H, W, 3) uint8 -> (512,) float32 feature fn.
+
+  Params are initialized EAGERLY here (conv init is shape-polymorphic, a
+  dummy image suffices), so shared encoder instances are thread-safe and
+  the parameter source is fixed at construction. When ``params`` is None
+  the trunk uses fixed-seed RANDOM features (PRNGKey(0)) — deterministic
+  across hosts but not pretrained; see envs/visual.py fallback warning.
+  """
   sizes = (2, 2, 2, 2) if "18" in name else (3, 4, 6, 3)
   net = ResNetTrunk(stage_sizes=sizes)
+  if params is None:
+    dummy = jnp.zeros(image_shape, jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), dummy)
 
   apply = jax.jit(net.apply)
 
   def encode(img: np.ndarray) -> np.ndarray:
     x = jnp.asarray(img, jnp.float32) / 255.0
-    nonlocal params
-    if params is None:
-      params = net.init(jax.random.PRNGKey(0), x)
     return np.asarray(apply(params, x))
 
   return encode

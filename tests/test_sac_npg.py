@@ -100,3 +100,37 @@ def test_npg_iteration_improves_surrogate():
   obs = ts.env_state.obs["state"][:2]
   act = np.asarray(policy(ts, obs))
   assert act.shape == (2, env.action_size)
+
+
+def test_sac_alpha_tracks_target_entropy():
+  """Alpha must move to pull measured entropy TOWARD the target.
+
+  Regression for an inverted temperature gradient (ascent instead of
+  descent on alpha*(-logp - target_entropy)): with the target far BELOW
+  the measured entropy alpha has to fall, and with the target far ABOVE
+  it alpha has to rise (SB3/brax convention)."""
+  env = myosuite_tpu.make("MtxElbowPoseRandom-v0")
+  cfg = sac_mod.default_config()
+  cfg.num_envs = 8
+  cfg.unroll_length = 4
+  cfg.replay_capacity = 8 * 4 * 16
+  cfg.learning_starts = 0
+  cfg.batch_size = 64
+  sac = sac_mod.SAC(env, cfg)
+  ts = sac.init(jax.random.PRNGKey(0))
+  ts = jax.jit(sac._collect)(ts)
+
+  def run(target, ts0):
+    sac.target_entropy = target
+    # jit closure captured target_entropy: rebuild the jitted fn per target
+    upd = jax.jit(sac._one_update)
+    ts1 = ts0
+    for i in range(10):
+      ts1, _ = upd(ts1, jax.random.PRNGKey(i))
+    return float(ts1.log_alpha)
+
+  a0 = float(ts.log_alpha)
+  # entropy of a fresh tanh-gaussian policy is ~ -act_size..+act_size;
+  # +-1000 puts the target unambiguously on one side
+  assert run(-1000.0, ts) < a0, "alpha must fall when entropy > target"
+  assert run(+1000.0, ts) > a0, "alpha must rise when entropy < target"
