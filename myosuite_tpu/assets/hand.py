@@ -42,7 +42,7 @@ def _digit_xml(prefix: str, y: float, lens, rscale: float,
   <site name="{prefix}_mcp_extside" pos="0.02 0 0.008"/>
   <geom name="{prefix}_prox_geom" type="capsule" fromto="0 0 0 0 0 -{lp}" size="{r}" mass="0.03" contype="1" conaffinity="2"/>
   <site name="{prefix}_FDP_p" pos="-0.007 0 -{lp*0.45:.4f}"/>
-  <site name="{prefix}_FDS_i" pos="-0.008 0 -{lp*0.8:.4f}"/>
+  <site name="{prefix}_FDS_p" pos="-0.008 0 -{lp*0.8:.4f}"/>
   <site name="{prefix}_EDC_p" pos="0.007 0 -{lp*0.45:.4f}"/>
   <site name="{prefix}_LUM_i" pos="-0.006 0.003 -{lp*0.3:.4f}"/>
   <site name="{prefix}_RI_i" pos="0.002 0.005 -{lp*0.25:.4f}"/>
@@ -54,6 +54,9 @@ def _digit_xml(prefix: str, y: float, lens, rscale: float,
     <site name="{prefix}_pip_extside" pos="0.015 0 0.006"/>
     <geom name="{prefix}_mid_geom" type="capsule" fromto="0 0 0 0 0 -{lm}" size="{rm}" mass="0.015" contype="1" conaffinity="2"/>
     <site name="{prefix}_FDP_m" pos="-0.006 0 -{lm*0.5:.4f}"/>
+    <!-- FDS inserts on the middle phalanx (crosses MCP + PIP), per its
+         anatomical path (An et al. 1983) -->
+    <site name="{prefix}_FDS_i" pos="-0.006 0 -{lm*0.35:.4f}"/>
     <site name="{prefix}_EDC_m" pos="0.006 0 -{lm*0.5:.4f}"/>
     <body name="{prefix}_dist" pos="0 0 -{lm}">
       <joint name="{prefix}_dip" type="hinge" axis="0 1 0" range="0 1.57"/>
@@ -86,6 +89,8 @@ def _finger_tendons(prefix: str, extra_ext: str = "") -> str:
 <spatial name="{p}_FDS_t" width="0.0015">
   <site site="{p}_FDS_o"/>
   <geom geom="{p}_mcp_wrap" sidesite="{p}_mcp_flexside"/>
+  <site site="{p}_FDS_p"/>
+  <geom geom="{p}_pip_wrap" sidesite="{p}_pip_flexside"/>
   <site site="{p}_FDS_i"/>
 </spatial>
 <spatial name="{p}_EDC_t" width="0.0015">
@@ -139,19 +144,21 @@ def _finger_palm_sites(prefix: str, y: float, extra_ext: str = "") -> str:
 
 
 def _finger_muscles(prefix: str, extra_ext: str = "") -> str:
+  # peak isometric forces (N) anchored to MoBL-ARMS (Saul 2015) /
+  # Gonzalez 1997 per-finger capacities; see docs/fidelity.md
   p = prefix
   mus = [
-      f'<muscle name="{p}_FDP" tendon="{p}_FDP_t" scale="200" timeconst="0.01 0.04"/>',
-      f'<muscle name="{p}_FDS" tendon="{p}_FDS_t" scale="200" timeconst="0.01 0.04"/>',
-      f'<muscle name="{p}_EDC" tendon="{p}_EDC_t" scale="180" timeconst="0.01 0.04"/>',
-      f'<muscle name="{p}_LUM" tendon="{p}_LUM_t" scale="100" timeconst="0.01 0.04"/>',
-      f'<muscle name="{p}_RI" tendon="{p}_RI_t" scale="120" timeconst="0.01 0.04"/>',
-      f'<muscle name="{p}_UI" tendon="{p}_UI_t" scale="120" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_FDP" tendon="{p}_FDP_t" force="70" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_FDS" tendon="{p}_FDS_t" force="75" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_EDC" tendon="{p}_EDC_t" force="30" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_LUM" tendon="{p}_LUM_t" force="10" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_RI" tendon="{p}_RI_t" force="18" timeconst="0.01 0.04"/>',
+      f'<muscle name="{p}_UI" tendon="{p}_UI_t" force="18" timeconst="0.01 0.04"/>',
   ]
   if extra_ext:
     mus.append(
         f'<muscle name="{p}_{extra_ext}" tendon="{p}_{extra_ext}_t" '
-        f'scale="150" timeconst="0.01 0.04"/>')
+        f'force="25" timeconst="0.01 0.04"/>')
   return "\n".join(mus)
 
 
@@ -360,13 +367,13 @@ def build_hand(palm_up: bool = False, obj: str = "",
 """
 
   thumb_muscles = """
-<muscle name="TH_FPL" tendon="TH_FPL_t" scale="200" timeconst="0.01 0.04"/>
-<muscle name="TH_EPL" tendon="TH_EPL_t" scale="160" timeconst="0.01 0.04"/>
-<muscle name="TH_EPB" tendon="TH_EPB_t" scale="120" timeconst="0.01 0.04"/>
-<muscle name="TH_APL" tendon="TH_APL_t" scale="140" timeconst="0.01 0.04"/>
-<muscle name="TH_ADPt" tendon="TH_ADPt_t" scale="140" timeconst="0.01 0.04"/>
-<muscle name="TH_ADPo" tendon="TH_ADPo_t" scale="140" timeconst="0.01 0.04"/>
-<muscle name="TH_OPP" tendon="TH_OPP_t" scale="120" timeconst="0.01 0.04"/>
+<muscle name="TH_FPL" tendon="TH_FPL_t" force="80" timeconst="0.01 0.04"/>
+<muscle name="TH_EPL" tendon="TH_EPL_t" force="30" timeconst="0.01 0.04"/>
+<muscle name="TH_EPB" tendon="TH_EPB_t" force="15" timeconst="0.01 0.04"/>
+<muscle name="TH_APL" tendon="TH_APL_t" force="50" timeconst="0.01 0.04"/>
+<muscle name="TH_ADPt" tendon="TH_ADPt_t" force="60" timeconst="0.01 0.04"/>
+<muscle name="TH_ADPo" tendon="TH_ADPo_t" force="60" timeconst="0.01 0.04"/>
+<muscle name="TH_OPP" tendon="TH_OPP_t" force="60" timeconst="0.01 0.04"/>
 """
 
   # wrist muscles: forearm -> palm over the wrist wrap; origin depth scales
@@ -397,9 +404,11 @@ def build_hand(palm_up: bool = False, obj: str = "",
       ("FCR", "wrist_flexside"), ("FCU", "wrist_flexside"),
       ("PL", "wrist_flexside"), ("ECRL", "wrist_extside"),
       ("ECRB", "wrist_extside"), ("ECU", "wrist_extside")])
+  wrist_forces = {"FCR": 100, "FCU": 130, "PL": 50,
+                  "ECRL": 300, "ECRB": 100, "ECU": 110}
   wrist_muscles = "\n".join(
-      f'<muscle name="{n}" tendon="{n}_t" scale="300" timeconst="0.01 0.04"/>'
-      for n in ["FCR", "FCU", "PL", "ECRL", "ECRB", "ECU"])
+      f'<muscle name="{n}" tendon="{n}_t" force="{f}" timeconst="0.01 0.04"/>'
+      for n, f in wrist_forces.items())
 
   euler = "0 1.5708 0" if palm_up else "0 0 0"
   # palm-up object scenes: passive wrist tone so the hand holds level

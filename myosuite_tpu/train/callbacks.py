@@ -90,15 +90,21 @@ class EvalCallback(Callback):
       state = env.reset(rng)
 
       def body(carry, _):
-        st, solved_steps = carry
+        st, solved_steps, alive = carry
         act = pol(ts, st.obs["state"])
         st = env.step(st, act)
-        solved_steps = solved_steps + (st.metrics.get(
-            "solved", jnp.float32(0.0)) > 0)
-        return (st, solved_steps), st.reward
+        # Episodes end at `done` (env_base.py:798-824 truncates paths on
+        # done): steps after termination contribute neither reward nor
+        # solved counts.
+        solved_steps = solved_steps + jnp.int32(
+            alive * (st.metrics.get("solved", jnp.float32(0.0)) > 0))
+        reward = st.reward * alive
+        alive = alive * (1.0 - st.done)
+        return (st, solved_steps, alive), reward
 
-      (state, solved_steps), rewards = jax.lax.scan(
-          body, (state, jnp.int32(0)), None, length=horizon)
+      (state, solved_steps, _), rewards = jax.lax.scan(
+          body, (state, jnp.int32(0), jnp.float32(1.0)), None,
+          length=horizon)
       return jnp.sum(rewards), solved_steps
 
     def evaluate(ts, rng):
