@@ -259,7 +259,10 @@ def build_leg(floor: bool = True, pelvis_free: bool = True,
   </default>
   <worldbody>
     {floor_xml}
-    <body name="pelvis" pos="0 0 0.96">
+    <!-- z = 0.932 rests the foot soles exactly on the floor
+         (hip chain -0.87, foot bottom -0.063): no reset
+         drop-impact kick -->
+    <body name="pelvis" pos="0 0 0.932">
       {root_joint}
       <!-- pelvis mass lumps the head-arms-trunk segment (the reference
            myoLeg carries a full torso above the pelvis): ~75 kg total

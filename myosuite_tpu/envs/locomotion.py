@@ -42,7 +42,7 @@ class WalkEnv(MyoEnv):
       return int(mj.jnt_qposadr[j])
     self._rhip_adr = jadr("r_hip_flexion")
     self._lhip_adr = jadr("l_hip_flexion")
-    self._init_height = float(mj.qpos0[2]) if mj.jnt_type[0] == 0 else 0.96
+    self._init_height = float(mj.qpos0[2]) if mj.jnt_type[0] == 0 else 0.93
     self._gait_qpos, self._gait_qvel = self._make_gait_keyframes(mj, jadr)
 
   def _make_gait_keyframes(self, mj, jadr):

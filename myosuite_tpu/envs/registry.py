@@ -410,7 +410,7 @@ def _register_all():
         hip_amplitude=0.8,   # reference walk_v0.py:426-433 (0.8 rad)
         min_height=0.7,
         max_rot=0.8,
-        stand_height=0.96,
+        stand_height=0.93,
         reset_type="init",
         reward_weights=config_dict.create(
             vel_reward=5.0, done=100.0, cyclic_hip=-10.0, ref_rot=10.0,
@@ -607,7 +607,7 @@ def _register_all():
             extra_worldbody=_OPPONENT_BODY)),
         max_episode_steps=1000, arena_half=6.0, tag_radius=0.35,
         min_height=0.7, max_rot=0.8, gait_period=1.0, hip_amplitude=0.4,
-        target_velocity=1.2, stand_height=0.96, reset_type="init",
+        target_velocity=1.2, stand_height=0.93, reset_type="init",
         agent_role=role,
         reward_weights=config_dict.create(
             distance=-0.1, lose=1000.0, act_reg=1.0),
@@ -643,7 +643,7 @@ def _register_all():
             extra_worldbody=_SOCCER_SCENE)),
         max_episode_steps=1000, goal_x=5.0, goal_half_width=1.22,
         keeper_reach=0.3, min_height=0.7, max_rot=0.8, gait_period=1.0,
-        hip_amplitude=0.4, target_velocity=1.2, stand_height=0.96,
+        hip_amplitude=0.4, target_velocity=1.2, stand_height=0.93,
         reset_type="init",
         reward_weights=config_dict.create(
             goal_scored=1000.0, time_cost=0.01, act_reg=100.0, pain=10.0,
@@ -660,7 +660,7 @@ def _register_all():
         model_xml=builder.finalize_muscles(leg_mod.build_leg(osl=True)),
         max_episode_steps=2000, min_velocity=0.3, target_velocity=1.2,
         finish_x=20.0, min_height=0.7, max_rot=0.8, gait_period=1.0,
-        hip_amplitude=0.4, stand_height=0.96, reset_type="init",
+        hip_amplitude=0.4, stand_height=0.93, reset_type="init",
         reward_weights=config_dict.create(
             sparse=1.0, solved=10.0, act_reg=1.0, pain=10.0,
             vel_reward=2.0),

@@ -151,3 +151,36 @@ class SaveSuccesses(Callback):
       checkpoint.save(path, ts, step=env_steps)
       print(f"  saved success checkpoint ({100 * succ:.0f}%): {path}",
             flush=True)
+
+
+class TensorBoardCallback(Callback):
+  """Stream training metrics to TensorBoard event files.
+
+  Role of the reference MJX trainer's wandb logging
+  (/root/reference/myosuite/envs/myo/mjx/train_jax_ppo.py:25-27,78) using
+  the locally-available backend; wandb itself is an optional external
+  service. No-ops with a warning if tensorboard is not importable.
+  """
+
+  def __init__(self, log_dir: str):
+    try:
+      from torch.utils.tensorboard import SummaryWriter
+      self._writer = SummaryWriter(log_dir)
+    except Exception as e:  # pragma: no cover - depends on install
+      import warnings
+      warnings.warn(f"tensorboard unavailable ({e}); metrics not streamed")
+      self._writer = None
+
+  def on_iteration(self, it, env_steps, metrics, ppo, ts):
+    if self._writer is None:
+      return
+    for k, v in metrics.items():
+      try:
+        self._writer.add_scalar(f"train/{k}", float(v), env_steps)
+      except (TypeError, ValueError):
+        pass
+    self._writer.flush()
+
+  def close(self):
+    if self._writer is not None:
+      self._writer.close()

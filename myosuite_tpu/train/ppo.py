@@ -283,14 +283,19 @@ class PPO:
 
 def train(env: MyoEnv, config: Optional[config_dict.ConfigDict] = None,
           progress_fn: Optional[Callable[[int, Dict], None]] = None,
-          callbacks=()):
+          callbacks=(), init_transform: Optional[Callable] = None):
   """Convenience training loop (reference train_jax_ppo.py equivalent).
 
   `callbacks`: train.callbacks.Callback instances invoked after every
-  outer iteration (the reference's SB3 in_callbacks role)."""
+  outer iteration (the reference's SB3 in_callbacks role).
+  `init_transform(ppo, ts) -> ts`: optional hook applied to the fresh
+  TrainState — warm starts / curricula (e.g. restore a learner trained
+  on a related task with the same spaces)."""
   ppo = PPO(env, config)
   cfg = ppo.cfg
   ts = ppo.init(jax.random.PRNGKey(cfg.seed))
+  if init_transform is not None:
+    ts = init_transform(ppo, ts)
 
   steps_per_call = max(
       1, cfg.num_timesteps // (cfg.num_evals * cfg.unroll_length

@@ -114,3 +114,21 @@ def randomize_state(mj_model, seed=0, vel_scale=0.5):
   d.qpos[:] = qpos
   d.qvel[:] = qvel
   return d
+
+
+def tier_jit_ctx():
+  """Context manager: eager in the default (LITE) tier, jitted in FULL.
+
+  Big-scene behavioral tests run under jax.disable_jit() by default —
+  the env logic under test is backend-independent, and skipping the
+  minutes-long XLA:CPU compile of each full model keeps `pytest tests/`
+  within its wall-clock budget on a small CI box. MTX_TEST=FULL restores
+  the jitted path so the background FULL sweep keeps compile coverage.
+  """
+  import contextlib
+  import os
+
+  import jax
+  if os.environ.get("MTX_TEST", "LITE").upper() == "FULL":
+    return contextlib.nullcontext()
+  return jax.disable_jit()

@@ -28,6 +28,8 @@ import myosuite_tpu
 
 
 def _rollout(env, n, action_fn=None, seed=0):
+  # runs eagerly in the default tier via the conftest _lite_eager_files
+  # fixture; MTX_TEST=FULL restores the jitted path
   s = jax.jit(env.reset)(jax.random.PRNGKey(seed))
   step = jax.jit(env.step)
   states = [s]

@@ -29,8 +29,28 @@ _SWEEP = (registry.registered_envs()
           else [n for n in _LITE_SET if n in registry.registered_envs()])
 
 
+# Small models keep the jitted path in LITE (fast compiles, jit
+# coverage); big scenes run eagerly — each would cost minutes of XLA:CPU
+# compile and their step logic is identical under disable_jit. FULL jits
+# everything.
+_LITE_JIT_SET = {
+    "MtxElbowPoseRandom-v0", "MtxFingerPoseFixed-v0",
+    "MtxFingerReachRandom-v0", "MtxFatiElbowPoseRandom-v0",
+    "MtxSarcFingerPoseRandom-v0", "MtxFingerTrackCyclic-v0",
+}
+
+
 @pytest.mark.parametrize("name", _SWEEP)
 def test_env_conformance(name):
+  import contextlib
+  full = os.environ.get("MTX_TEST", "LITE").upper() == "FULL"
+  ctx = (contextlib.nullcontext() if full or name in _LITE_JIT_SET
+         else jax.disable_jit())
+  with ctx:
+    _conformance(name)
+
+
+def _conformance(name):
   env = myosuite_tpu.make(name)
   rng = jax.random.PRNGKey(0)
   reset = jax.jit(env.reset)

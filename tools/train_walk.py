@@ -83,6 +83,10 @@ def main():
                  help="training-env config overrides, dot.path=value")
   p.add_argument("--eval_episodes", type=int, default=32)
   p.add_argument("--save_ckpt", action="store_true")
+  p.add_argument("--init_ckpt", default=None,
+                 help="warm-start learner from this checkpoint dir "
+                      "(e.g. a MtxLegStand balance policy — same "
+                      "obs/action space; stand->walk curriculum)")
   args = p.parse_args()
 
   from myosuite_tpu.utils import jax_cache_dir
@@ -122,9 +126,18 @@ def main():
   cfg.seed = args.seed
 
   eval_cb = cb.EvalCallback(eval_env, num_episodes=16, every=2)
+  init_transform = None
+  if args.init_ckpt:
+    def init_transform(ppo, ts):
+      print(f"warm start from {args.init_ckpt}", flush=True)
+      ts = checkpoint.restore_learner(args.init_ckpt, ts)
+      # keep the pretrained policy/value/obs_stats but reset the step
+      # budget and optimizer so the new task trains at full length
+      return ts.replace(env_steps=jax.numpy.zeros_like(ts.env_steps))
   t0 = time.time()
   ppo, ts, stats = ppo_mod.train(
-      train_env, cfg, callbacks=[cb.InfoCallback(), eval_cb])
+      train_env, cfg, callbacks=[cb.InfoCallback(), eval_cb],
+      init_transform=init_transform)
 
   final_eval = build_eval(eval_env, ppo, args.eval_episodes)
   ret, solved, dist, alive = jax.device_get(
