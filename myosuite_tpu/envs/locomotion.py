@@ -66,9 +66,34 @@ class WalkEnv(MyoEnv):
       q[jadr(f"{stance}_knee")] = -0.05
       q[jadr(f"{stance}_ankle")] = -0.08         # push-off
       v = qvel.copy()
-      # hips mid-swing: swing leg rotating forward, stance backward
+      # hips mid-swing: swing leg still rotating forward, stance leg
+      # rotating backward relative to the pelvis (≈2 rad/s at a 1 Hz
+      # gait) — zero joint velocities with a 1.2 m/s root make an
+      # unphysical "shoved mannequin" start
+      dof = lambda name: int(mj.jnt_dofadr[mujoco.mj_name2id(
+          mj, mujoco.mjtObj.mjOBJ_JOINT.value, name)])
+      v[dof(f"{swing}_hip_flexion")] = -2.0
+      v[dof(f"{stance}_hip_flexion")] = 2.0
       frames_q.append(q)
       frames_v.append(v)
+    # Bent joints shorten the legs' vertical reach, so a fixed pelvis
+    # height leaves both feet airborne — the model free-falls at reset and
+    # the impact makes the state unrecoverable (observed: every policy
+    # falls ~0.4 s after reset). Solve the pelvis height per frame with
+    # host-side forward kinematics: keep the lowest foot sole exactly
+    # where the calibrated default pose puts it (on the floor).
+    mjd = mujoco.MjData(mj)
+    def lowest_foot(q):
+      mjd.qpos[:] = q
+      mujoco.mj_forward(mj, mjd)
+      zs = []
+      for name in ("r_foot_site", "l_foot_site"):
+        sid = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_SITE.value, name)
+        zs.append(float(mjd.site_xpos[sid][2]))
+      return min(zs)
+    z_ref = lowest_foot(qpos)
+    for q in frames_q:
+      q[2] -= lowest_foot(q) - z_ref
     return (jnp.asarray(np.stack(frames_q)),
             jnp.asarray(np.stack(frames_v)))
 
@@ -177,6 +202,12 @@ class WalkEnv(MyoEnv):
         "ref_rot": ref_rot,
         "joint_angle_rew": joint_angle_rew,
         "act_reg": -jnp.mean(jnp.square(data.act)),
+        # raw forward velocity: 0-weighted by default (the reference's
+        # reward contract has no such term, walk_v0.py:205-211) but
+        # exposed for curriculum shaping — the gaussian vel_reward has a
+        # weak gradient around v=0, which traps PPO in the standing
+        # optimum; a linear progress term breaks the trap
+        "progress": vel[0],
     }
 
   def _fallen(self, data: Data) -> jax.Array:

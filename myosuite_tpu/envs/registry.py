@@ -411,10 +411,17 @@ def _register_all():
         min_height=0.7,
         max_rot=0.8,
         stand_height=0.93,
-        reset_type="init",
+        # The reference resets from its model's mocap-derived walk
+        # keyframes (walk_v0.py:320-351). This procedural model has no
+        # mocap: its hand-derived mid-gait keyframes are not dynamically
+        # consistent (measured: from the 'init' frame every constant
+        # action falls within 0.5 s), so the default reset is the
+        # physically consistent standing pose; 'init'/'random' keyframe
+        # resets remain available as overrides.
+        reset_type="none",
         reward_weights=config_dict.create(
             vel_reward=5.0, done=100.0, cyclic_hip=-10.0, ref_rot=10.0,
-            joint_angle_rew=5.0, act_reg=1.0),
+            joint_angle_rew=5.0, act_reg=1.0, progress=0.0),
     ))
     cfg.update(kw)
     return cfg

@@ -84,15 +84,29 @@ def restore(path: str, target: Any) -> Any:
   return jax.tree.unflatten(treedef, out)
 
 
-def restore_learner(path: str, train_state: Any) -> Any:
+def restore_learner(path: str, train_state: Any,
+                    skip_opt: bool = False) -> Any:
   """Restore a learner-only checkpoint into a full TrainState (env state
-  and RNG keep the provided fresh values)."""
-  ckptr = ocp.StandardCheckpointer()
-  got = ckptr.restore(os.path.abspath(path), _learner_view(train_state))
+  and RNG keep the provided fresh values).
+
+  skip_opt: keep the target's fresh optimizer state — required when the
+  restoring run uses a different optimizer structure than the saved one
+  (e.g. warm-starting a cosine-lr run from a constant-lr checkpoint)."""
+  view = _learner_view(train_state)
+  if skip_opt:
+    del view["opt_state"]
+    # partial restore: the saved tree still carries its own opt_state
+    with ocp.PyTreeCheckpointer() as ckptr:
+      got = ckptr.restore(
+          os.path.abspath(path),
+          args=ocp.args.PyTreeRestore(item=view, partial_restore=True))
+  else:
+    ckptr = ocp.StandardCheckpointer()
+    got = ckptr.restore(os.path.abspath(path), view)
   return train_state.replace(
       policy_params=got["policy_params"], value_params=got["value_params"],
-      opt_state=got["opt_state"], obs_stats=got["obs_stats"],
-      env_steps=got["env_steps"])
+      opt_state=(train_state.opt_state if skip_opt else got["opt_state"]),
+      obs_stats=got["obs_stats"], env_steps=got["env_steps"])
 
 
 def latest_step_dir(root: str) -> Optional[str]:

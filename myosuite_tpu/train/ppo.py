@@ -45,6 +45,12 @@ def default_config() -> config_dict.ConfigDict:
       num_minibatches=32,
       num_updates_per_batch=8,
       reward_scaling=1.0,
+      # lr_schedule: "constant" or "cosine" (cosine decays to
+      # lr_final_scale * learning_rate over the full num_timesteps budget —
+      # stabilizes the final policy on pose/reach tasks where a constant lr
+      # keeps re-breaking a near-solved policy)
+      lr_schedule="constant",
+      lr_final_scale=0.05,
       normalize_observations=True,
       policy_hidden=(64, 64, 64),
       value_hidden=(64, 64, 64),
@@ -84,11 +90,22 @@ class PPO:
     self.policy = networks.PolicyNet(action_size=env.action_size,
                                      hidden=tuple(self.cfg.policy_hidden))
     self.value = networks.ValueNet(hidden=tuple(self.cfg.value_hidden))
+    if self.cfg.get("lr_schedule", "constant") == "cosine":
+      # one optimizer step per minibatch; total over the step budget
+      updates_total = max(1, (
+          self.cfg.num_timesteps
+          // (self.cfg.unroll_length * self.cfg.num_envs)
+          * self.cfg.num_updates_per_batch * self.cfg.num_minibatches))
+      lr = optax.cosine_decay_schedule(
+          self.cfg.learning_rate, updates_total,
+          alpha=self.cfg.get("lr_final_scale", 0.05))
+    else:
+      lr = self.cfg.learning_rate
     # apply_if_finite: a non-finite gradient (diverged rollout, overflow)
     # skips the update instead of poisoning the params with NaN
     self.optimizer = optax.apply_if_finite(optax.chain(
         optax.clip_by_global_norm(self.cfg.max_grad_norm),
-        optax.adam(self.cfg.learning_rate),
+        optax.adam(lr),
     ), max_consecutive_errors=100)
 
   # -- initialization -----------------------------------------------------

@@ -39,46 +39,23 @@ if "xla_force_host_platform_device_count" not in flags:
       flags + " --xla_force_host_platform_device_count=8").strip()
 
 
-# Persistent compilation cache: physics pipelines are expensive to compile
-# and identical across test runs. The directory is keyed on the host CPU
-# features — entries from a different machine load as mismatched XLA:CPU
-# AOT blobs that can execute incorrectly (observed: jitted steps spinning
-# forever on poisoned hits).
+# NO persistent compilation cache for tests. XLA:CPU AOT cache entries
+# are machine-feature sensitive in ways the cache key does not capture
+# (+prefer-no-scatter/+prefer-no-gather drift between concurrently
+# running processes on the SAME box); a mismatched load either fails
+# noisily and recompiles, or loads poisoned and executes garbage —
+# observed as a 2-step smoke test spinning for 20+ minutes inside its
+# while_loop solver. Cold compiles are 20-70 s per big scene and are paid
+# once per suite run; correctness beats the warm-start.
 import jax
 
-from myosuite_tpu.utils import jax_cache_dir
-
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-# ---------------------------------------------------------------------------
-# Default-tier (LITE) speed: big-scene behavioral test FILES run eagerly
-# (jax.disable_jit) — the env logic they assert is backend-independent,
-# and each full hand/leg scene otherwise costs minutes of XLA:CPU compile
-# on a small CI box (observed: the jitted default suite exceeded 58 min
-# on 2 CPUs). MTX_TEST=FULL restores the jitted path everywhere, so the
-# background FULL sweep keeps compile coverage. Compile coverage in the
-# default tier comes from the small-model parity/training suites and the
-# LITE conformance sweep's small envs.
-# ---------------------------------------------------------------------------
-import pytest
-
-_LITE_EAGER_FILES = {
-    "test_challenge_suite.py",
-    "test_challenge_default.py",
-    "test_myodm.py",
-    "test_sar.py",
-    "test_reference_npz.py",
-}
-
-
-@pytest.fixture(autouse=True)
-def _lite_eager_files(request):
-  if (os.environ.get("MTX_TEST", "LITE").upper() != "FULL"
-      and request.node.path.name in _LITE_EAGER_FILES):
-    with jax.disable_jit():
-      yield
-  else:
-    yield
+# NOTE on tiers: everything runs JITTED, including the big hand/leg/arm
+# scenes. Measured on this 2-CPU box: a jitted leg-scene reset+step
+# compiles cold in ~25 s (persistent cache makes reruns instant), while
+# ONE eager (disable_jit) leg-scene reset costs ~270 s of per-op dispatch
+# — the earlier eager-files tier was strictly slower than compiling.
+# Default (LITE) keeps the suite small by trimming the conformance env
+# list and rollout lengths; MTX_TEST=FULL sweeps everything.

@@ -15,8 +15,8 @@ family-specific behavior (reference anchors:
   * Baoding    — targets advance along the goal trajectory every step
                  (baoding_v1.py:148-182)
 
-Bimanual/TableTennis (full myoArm scenes, much heavier CPU compiles) stay
-in test_challenge_new.py behind MTX_TEST=FULL.
+Bimanual/TableTennis live in test_challenge_default.py — all 8 families
+step in the default suite.
 """
 
 import jax
@@ -28,8 +28,8 @@ import myosuite_tpu
 
 
 def _rollout(env, n, action_fn=None, seed=0):
-  # runs eagerly in the default tier via the conftest _lite_eager_files
-  # fixture; MTX_TEST=FULL restores the jitted path
+  # jitted in every tier: cold compiles are tens of seconds while a
+  # single eager big-scene reset costs minutes of per-op dispatch
   s = jax.jit(env.reset)(jax.random.PRNGKey(seed))
   step = jax.jit(env.step)
   states = [s]

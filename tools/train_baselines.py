@@ -33,6 +33,13 @@ def main():
                       "call's device time (long single calls can trip "
                       "remote-TPU watchdogs)")
   p.add_argument("--out", default=None)
+  p.add_argument("--lr", type=float, default=3e-4)
+  p.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                 default="constant")
+  p.add_argument("--entropy", type=float, default=1e-3)
+  p.add_argument("--hidden", default="64,64,64")
+  p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--eval_episodes", type=int, default=16)
   args = p.parse_args()
 
   import jax
@@ -52,7 +59,13 @@ def main():
     cfg.num_timesteps = args.num_timesteps
     cfg.num_envs = args.num_envs
     cfg.num_evals = args.num_evals
-    eval_cb = cb.EvalCallback(env, num_episodes=16, every=3)
+    cfg.learning_rate = args.lr
+    cfg.lr_schedule = args.lr_schedule
+    cfg.entropy_cost = args.entropy
+    cfg.policy_hidden = tuple(int(x) for x in args.hidden.split(","))
+    cfg.value_hidden = cfg.policy_hidden
+    cfg.seed = args.seed
+    eval_cb = cb.EvalCallback(env, num_episodes=args.eval_episodes, every=3)
     out = os.path.abspath(os.path.join(root, env_name.replace("-", "_")))
     # crash resilience: remote-TPU tunnels can die mid-run; keep a rolling
     # learner checkpoint so a near-final policy is never lost

@@ -71,6 +71,8 @@ def main():
   p.add_argument("--num_envs", type=int, default=4096)
   p.add_argument("--num_evals", type=int, default=20)
   p.add_argument("--lr", type=float, default=3e-4)
+  p.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                 default="constant")
   p.add_argument("--entropy", type=float, default=1e-3)
   p.add_argument("--reward_scaling", type=float, default=1.0)
   p.add_argument("--discounting", type=float, default=0.97)
@@ -117,6 +119,7 @@ def main():
   cfg.num_envs = args.num_envs
   cfg.num_evals = args.num_evals
   cfg.learning_rate = args.lr
+  cfg.lr_schedule = args.lr_schedule
   cfg.entropy_cost = args.entropy
   cfg.reward_scaling = args.reward_scaling
   cfg.discounting = args.discounting
@@ -130,9 +133,9 @@ def main():
   if args.init_ckpt:
     def init_transform(ppo, ts):
       print(f"warm start from {args.init_ckpt}", flush=True)
-      ts = checkpoint.restore_learner(args.init_ckpt, ts)
       # keep the pretrained policy/value/obs_stats but reset the step
       # budget and optimizer so the new task trains at full length
+      ts = checkpoint.restore_learner(args.init_ckpt, ts, skip_opt=True)
       return ts.replace(env_steps=jax.numpy.zeros_like(ts.env_steps))
   t0 = time.time()
   ppo, ts, stats = ppo_mod.train(

@@ -1,10 +1,17 @@
-"""Tutorial 11 — Reflex locomotion controller.
+"""Tutorial 11 — Reflex pathway controller (Song & Geyer 2015).
 
-Role parity: /root/reference/tutorials/4b_reflex (Song & Geyer 2015
-spinal reflex controller walking the myoLeg). The JAX version runs the
-M1-M5 reflex pathways inside the jitted rollout and ships tuned gains in
-agents/pretrained/reflex_gait.json; `tools/tune_reflex.py` re-tunes them
-with a TPU-batched random search.
+Role parity: /root/reference/tutorials/4b_reflex (spinal reflex
+controller on the myoLeg). The JAX version runs the M1-M5 reflex
+pathways inside the jitted rollout; `tools/tune_reflex.py` re-tunes the
+gains with TPU-batched CMA-ES (a whole population evaluated as one
+vmapped rollout per generation).
+
+SCOPE: on this procedural leg model the tuned gains demonstrate the
+reflex PATHWAYS (stance/swing modulation, force/length feedback), not a
+stable gait — the best CMA-ES champion stays upright ~2.6 s and travels
+~0.4 m (agents/pretrained/reflex_gait.json carries the measured
+numbers). The reference's hand-tuned gains target its mocap-calibrated
+myoLeg; treat this as a pathway-model demo, not a locomotion baseline.
 """
 
 import json
