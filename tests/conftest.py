@@ -12,8 +12,26 @@ import os
 # The suite keeps hundreds of jitted graphs + cached envs alive (registry
 # lru_cache); CPython gen-2 collections over that object graph during a
 # large trace go pathological (observed: a torso step that compiles in
-# 20 s in a fresh process taking >70 min mid-suite). RAM is plentiful.
-gc.disable()
+# 20 s in a fresh process taking >70 min mid-suite). A blanket
+# gc.disable() is NOT the fix — with collection off, the millions of
+# short-lived tracer objects each big-scene trace creates are never
+# reclaimed and tracing itself degrades the same way. Instead: freeze()
+# moves everything alive at conftest time out of the collectable
+# generations (per-file freezes below keep doing so as caches grow), so
+# gen-2 scans only ever walk per-test garbage.
+gc.freeze()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _gc_freeze_between_files():
+  """Freeze long-lived objects (jit caches, cached envs) after each test
+  file so they never re-enter gen-2 scans."""
+  yield
+  gc.collect()
+  gc.freeze()
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The axon TPU-tunnel sitecustomize registers its PJRT plugin (and reads
