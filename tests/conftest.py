@@ -26,10 +26,17 @@ import pytest
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _gc_freeze_between_files():
-  """Freeze long-lived objects (jit caches, cached envs) after each test
-  file so they never re-enter gen-2 scans."""
+def _reset_jax_state_between_files():
+  """Drop jit caches and freeze long-lived objects after each test file.
+
+  Accumulated in-process jit/tracing state makes LATER big-scene compiles
+  pathologically slow (observed: a bimanual step graph that cold-compiles
+  in 71 s in a fresh process taking >19 min as test #13 of a session,
+  with or without gc enabled). Each file re-pays its own compiles; that
+  is minutes total, not tens of minutes."""
   yield
+  import jax
+  jax.clear_caches()
   gc.collect()
   gc.freeze()
 
